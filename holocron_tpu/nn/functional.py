@@ -1,0 +1,532 @@
+"""Functional ops: activations, losses, structured dropout and exotic convolutions.
+
+TPU-native re-design of the reference catalog (``holocron/nn/functional.py``, 613 LoC).
+Every function here is a pure JAX function (jit/vmap/grad-compatible):
+
+- tensors are **channel-last** (``N, H, W, C`` / logits ``(N, ..., K)``) — the native TPU
+  layout — where the reference is channel-first (NCHW),
+- randomness is explicit via ``jax.random`` keys instead of global torch RNG state,
+- dynamic boolean indexing (``loss[valid]``) becomes masked arithmetic so everything
+  stays jit-compatible with static shapes.
+
+Reference semantics (cited per function) are matched exactly up to layout.
+"""
+
+from math import ceil
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "add2d",
+    "complement_cross_entropy",
+    "concat_downsample2d",
+    "cross_entropy",
+    "dice_loss",
+    "dropblock2d",
+    "focal_loss",
+    "hard_mish",
+    "multilabel_cross_entropy",
+    "mutual_channel_loss",
+    "nl_relu",
+    "norm_conv2d",
+    "poly_loss",
+    "z_pool",
+]
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def hard_mish(x: Array) -> Array:
+    """HardMish activation: ``0.5 * x * clamp(x + 2, 0, 2)``.
+
+    Reference: holocron/nn/functional.py:30-41.
+    """
+    return 0.5 * x * jnp.clip(x + 2.0, 0.0, 2.0)
+
+
+def nl_relu(x: Array, beta: float = 1.0) -> Array:
+    """Natural-log ReLU: ``log(1 + beta * relu(x))``.
+
+    Reference: holocron/nn/functional.py:44-56.
+    """
+    return jnp.log1p(beta * jax.nn.relu(x))
+
+
+# ---------------------------------------------------------------------------
+# Reduction helpers (shared by the loss catalog)
+# ---------------------------------------------------------------------------
+
+
+def _masked_reduce(loss: Array, valid: Array, reduction: str, target_shape) -> Array:
+    """Reduce ``loss`` over elements where ``valid`` is True.
+
+    Mirrors the reference's ``loss[valid_idxs].sum()/.mean()`` with static shapes:
+    invalid entries contribute 0 to sums and are excluded from mean denominators.
+    """
+    valid = valid.astype(loss.dtype)
+    loss = loss * valid
+    if reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "mean":
+        denom = jnp.sum(valid)
+        return jnp.sum(loss) / jnp.maximum(denom, 1.0)
+    return loss.reshape(target_shape)
+
+
+def cross_entropy(
+    x: Array,
+    target: Array,
+    weight: Optional[Array] = None,
+    ignore_index: int = -100,
+    reduction: str = "mean",
+) -> Array:
+    """Cross-entropy on channel-last logits, matching ``torch.nn.functional.cross_entropy``
+    semantics (incl. the weighted-mean denominator ``sum(w_target)``).
+
+    Args:
+        x: logits of shape ``(N, ..., K)``
+        target: int class indices of shape ``(N, ...)``
+        weight: per-class rescaling ``(K,)``
+        ignore_index: target value whose loss contribution is dropped
+        reduction: ``'mean' | 'sum' | 'none'``
+    """
+    num_classes = x.shape[-1]
+    logpt = jax.nn.log_softmax(x, axis=-1)
+    safe_target = jnp.clip(target, 0, num_classes - 1)
+    logpt_t = jnp.take_along_axis(logpt, safe_target[..., None], axis=-1)[..., 0]
+    valid = target != ignore_index
+    w_t = jnp.ones_like(logpt_t)
+    if weight is not None:
+        w_t = weight.astype(x.dtype)[safe_target]
+    loss = -w_t * logpt_t
+    vf = valid.astype(x.dtype)
+    if reduction == "sum":
+        return jnp.sum(loss * vf)
+    if reduction == "mean":
+        # torch divides by the sum of the weights of the contributing targets
+        return jnp.sum(loss * vf) / jnp.maximum(jnp.sum(w_t * vf), 1e-12)
+    return jnp.where(valid, loss, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def focal_loss(
+    x: Array,
+    target: Array,
+    weight: Optional[Array] = None,
+    ignore_index: int = -100,
+    reduction: str = "mean",
+    gamma: float = 2.0,
+) -> Array:
+    """Focal loss (`Lin et al. <https://arxiv.org/pdf/1708.02002.pdf>`_):
+    CE scaled by ``(1 - p_t)^gamma``.
+
+    Reference: holocron/nn/functional.py:59-113. Channel-last logits ``(N, ..., K)``,
+    hard targets ``(N, ...)``.
+    """
+    num_classes = x.shape[-1]
+    logpt = jax.nn.log_softmax(x, axis=-1)
+    safe_target = jnp.clip(target, 0, num_classes - 1)
+    logpt_t = jnp.take_along_axis(logpt, safe_target[..., None], axis=-1)[..., 0]
+    pt = jnp.exp(logpt_t)
+    if weight is not None:
+        logpt_t = weight.astype(x.dtype)[safe_target] * logpt_t
+    loss = -1.0 * (1.0 - pt) ** gamma * logpt_t
+    # the reference only masks when 0 <= ignore_index < K (functional.py:88)
+    if 0 <= ignore_index < num_classes:
+        valid = target != ignore_index
+    else:
+        valid = jnp.ones_like(target, dtype=bool)
+    return _masked_reduce(loss, valid, reduction, target.shape)
+
+
+def multilabel_cross_entropy(
+    x: Array,
+    target: Array,
+    weight: Optional[Array] = None,
+    ignore_index: int = -100,
+    reduction: str = "mean",
+) -> Array:
+    """Cross-entropy with dense (soft / multi-hot) targets of the same shape as ``x``.
+
+    Reference: holocron/nn/functional.py:150-191. Channel-last: ``x, target (N, ..., K)``.
+    """
+    num_classes = x.shape[-1]
+    logpt = jax.nn.log_softmax(x, axis=-1)
+    if weight is not None:
+        logpt = logpt * weight.astype(x.dtype)
+    loss = -target * logpt
+    if 0 <= ignore_index < num_classes:
+        class_valid = jnp.arange(num_classes) != ignore_index
+        loss = loss * class_valid.astype(loss.dtype)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    loss = jnp.sum(loss, axis=-1)
+    if reduction == "mean":
+        return jnp.mean(loss)
+    return loss
+
+
+def complement_cross_entropy(
+    x: Array,
+    target: Array,
+    weight: Optional[Array] = None,
+    ignore_index: int = -100,
+    reduction: str = "mean",
+    gamma: float = -1.0,
+) -> Array:
+    """Complement cross-entropy (`Kim et al. <https://arxiv.org/pdf/2009.02189.pdf>`_):
+    CE plus ``gamma`` times the complement-entropy term over non-target classes.
+
+    The reference's per-class Python loop that zeroes ground-truth contributions
+    (holocron/nn/functional.py:230-232 — its own TODO asks to vectorize it) is replaced
+    by a one-hot mask, which is exactly equivalent and TPU-friendly.
+
+    Reference: holocron/nn/functional.py:194-255.
+    """
+    ce = cross_entropy(x, target, weight, ignore_index, reduction)
+    if gamma == 0:
+        return ce
+
+    num_classes = x.shape[-1]
+    pt = jax.nn.softmax(x, axis=-1)
+    safe_target = jnp.clip(target, 0, num_classes - 1)
+    pt_t = jnp.take_along_axis(pt, safe_target[..., None], axis=-1)
+    pt = pt / (1.0 - pt_t)
+    loss = (-1.0 / (num_classes - 1)) * pt * jnp.log(pt)
+    # zero the ground-truth class contribution (vectorized form of the reference loop)
+    onehot = jax.nn.one_hot(safe_target, num_classes, dtype=loss.dtype)
+    loss = loss * (1.0 - onehot)
+    if 0 <= ignore_index < num_classes:
+        class_valid = jnp.arange(num_classes) != ignore_index
+        loss = loss * class_valid.astype(loss.dtype)
+    if weight is not None:
+        loss = loss * weight.astype(x.dtype)
+    if reduction == "sum":
+        loss = jnp.sum(loss)
+    else:
+        loss = jnp.sum(loss, axis=-1)
+        if reduction == "mean":
+            loss = jnp.mean(loss)
+    return ce + gamma * loss
+
+
+def mutual_channel_loss(
+    x: Array,
+    target: Array,
+    key: Array,
+    weight: Optional[Array] = None,
+    ignore_index: int = -100,
+    reduction: str = "mean",
+    xi: int = 2,
+    alpha: float = 1.0,
+) -> Array:
+    """Mutual-channel loss (`Chang et al. <https://arxiv.org/pdf/2002.04264.pdf>`_):
+    discriminality (channel-wise-attention + cross-channel max-pool + CE) minus
+    ``alpha`` times a diversity term.
+
+    Randomness (the CWA channel masks) is explicit via ``key``.
+
+    Reference: holocron/nn/functional.py:258-319. Channel-last ``x (N, ..., K*xi)``.
+    """
+    *lead, c = x.shape
+    b = lead[0]
+    spatial = tuple(lead[1:])
+    cnum = c // xi
+    # (N, S, cnum, xi)
+    xg = x.reshape(b, -1, cnum, xi)
+
+    # CWA: per-group random mask keeping ceil(xi/2) of the xi features
+    base_mask = (jnp.arange(xi) < ceil(xi / 2)).astype(x.dtype)
+    perm_keys = jax.random.split(key, cnum)
+    chan_mask = jax.vmap(lambda k: jax.random.permutation(k, base_mask))(perm_keys)
+    discr = xg * chan_mask[None, None, :, :]
+    # CCMP
+    discr = jnp.max(discr, axis=-1)  # (N, S, cnum)
+    discr = discr.reshape(b, *spatial, cnum)
+    discr_loss = cross_entropy(discr, target, weight, ignore_index, reduction)
+
+    # diversity: softmax over spatial, CCMP over xi, mean over groups
+    div = jax.nn.softmax(xg, axis=1)
+    div = jnp.max(div, axis=-1)  # (N, S, cnum)
+    diversity = jnp.mean(div, axis=-1)  # (N, S)
+    if reduction == "sum":
+        diversity = jnp.sum(diversity)
+    elif reduction == "mean":
+        diversity = jnp.mean(diversity)
+    else:
+        diversity = diversity.reshape(b, *spatial)
+    return discr_loss - alpha * diversity
+
+
+def dice_loss(
+    x: Array,
+    target: Array,
+    weight: Optional[Array] = None,
+    gamma: float = 1.0,
+    eps: float = 1e-8,
+) -> Array:
+    """Soft Dice loss (`Milletari et al. <https://arxiv.org/pdf/1606.04797.pdf>`_) with a
+    gamma recall/precision knob.
+
+    Reference: holocron/nn/functional.py:503-537. Channel-last probabilities
+    ``x, target (N, ..., K)``; the per-class statistics reduce over batch+spatial dims.
+    """
+    reduce_axes = tuple(range(x.ndim - 1))
+    inter = gamma * jnp.sum(x * target, axis=reduce_axes)
+    cardinality = jnp.sum(x + gamma * target, axis=reduce_axes)
+    dice_coeff = (inter + eps) / (cardinality + eps)
+    if weight is None:
+        return 1.0 - (1.0 + 1.0 / gamma) * jnp.mean(dice_coeff)
+    weight = weight.astype(x.dtype)
+    return 1.0 - (1.0 + 1.0 / gamma) * jnp.sum(weight * dice_coeff) / jnp.sum(weight)
+
+
+def poly_loss(
+    x: Array,
+    target: Array,
+    eps: float = 2.0,
+    weight: Optional[Array] = None,
+    ignore_index: int = -100,
+    reduction: str = "mean",
+) -> Array:
+    """Poly1 loss (`Leng et al. <https://arxiv.org/pdf/2204.12511.pdf>`_):
+    ``CE + eps * (1 - p_t)``; supports hard int targets ``(N, ...)`` and soft targets
+    ``(N, ..., K)``.
+
+    Reference: holocron/nn/functional.py:540-613.
+    """
+    num_classes = x.shape[-1]
+    logpt = jax.nn.log_softmax(x, axis=-1)
+    hard = target.ndim == x.ndim - 1
+    if hard:
+        if not jnp.issubdtype(target.dtype, jnp.integer):
+            raise TypeError("target dtype is expected to be an integer type")
+        safe_target = jnp.clip(target, 0, num_classes - 1)
+        logpt_t = jnp.take_along_axis(logpt, safe_target[..., None], axis=-1)[..., 0]
+    else:
+        if target.ndim != x.ndim or target.shape[0] != x.shape[0] or target.shape[-1] != x.shape[-1]:
+            raise ValueError("invalid target shape")
+        logpt_t = logpt * target
+
+    loss = -1.0 * logpt_t + eps * (1.0 - jnp.exp(logpt_t))
+
+    if weight is not None:
+        weight = weight.astype(x.dtype)
+        if hard:
+            loss = weight[safe_target] * loss
+        else:
+            loss = weight * loss
+
+    if hard:
+        if 0 <= ignore_index < num_classes:
+            valid = target != ignore_index
+        else:
+            valid = jnp.ones_like(target, dtype=bool)
+        return _masked_reduce(loss, valid, reduction, target.shape)
+
+    # soft targets: class-masked reduction over the channel axis
+    if 0 <= ignore_index < num_classes:
+        class_valid = (jnp.arange(num_classes) != ignore_index).astype(loss.dtype)
+        loss = loss * class_valid
+    if reduction == "sum":
+        return jnp.sum(loss)
+    loss = jnp.sum(loss, axis=-1)
+    if reduction == "mean":
+        return jnp.mean(loss)
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# Downsampling / pooling
+# ---------------------------------------------------------------------------
+
+
+def concat_downsample2d(x: Array, scale_factor: int) -> Array:
+    """Loss-less space-to-depth from `YOLO9000 <https://pjreddie.com/media/files/papers/YOLO9000.pdf>`_.
+
+    ``(N, H, W, C) -> (N, H/s, W/s, s*s*C)`` with channel order ``(sh, sw, c)``, matching
+    the reference's permutation (holocron/nn/functional.py:116-136) so converted weights
+    stay aligned.
+
+    This is a pure reshape/transpose — free on TPU (XLA folds it into neighbours).
+    """
+    b, h, w, c = x.shape
+    s = scale_factor
+    if h % s != 0 or w % s != 0:
+        raise AssertionError("Spatial size of input tensor must be multiples of `scale_factor`")
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // s, w // s, s * s * c)
+
+
+def z_pool(x: Array, axis: int) -> Array:
+    """Z-pool (`Misra et al. <https://arxiv.org/pdf/2010.03045.pdf>`_):
+    concat(max, mean) along ``axis``.
+
+    Reference: holocron/nn/functional.py:139-147.
+    """
+    return jnp.concatenate(
+        [jnp.max(x, axis=axis, keepdims=True), jnp.mean(x, axis=axis, keepdims=True)],
+        axis=axis,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured dropout
+# ---------------------------------------------------------------------------
+
+
+def dropblock2d(
+    x: Array,
+    key: Array,
+    drop_prob: float,
+    block_size: int,
+    training: bool = True,
+) -> Array:
+    """DropBlock (`Ghiasi et al. <https://arxiv.org/pdf/1810.12890.pdf>`_): drops
+    contiguous ``block_size x block_size`` spatial regions, then renormalizes.
+
+    Reference: holocron/nn/functional.py:465-500. NHWC; randomness via ``key``.
+    """
+    if not training or drop_prob == 0:
+        return x
+    n, h, w, _ = x.shape
+    gamma = drop_prob / block_size**2
+    centers = (jax.random.uniform(key, (n, h, w)) <= gamma).astype(x.dtype)
+    # expand dropped centers to block_size via a stride-1 max-pool (torch pads k//2 both
+    # sides; with SAME-size output that is (k//2, (k-1)//2))
+    pad = (block_size // 2, (block_size - 1) // 2)
+    pooled = jax.lax.reduce_window(
+        centers,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, block_size, block_size),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), pad, pad),
+    )
+    mask = 1.0 - pooled
+    one_count = jnp.sum(mask)
+    out = x * mask[..., None]
+    scale = jnp.where(one_count > 0, mask.size / jnp.maximum(one_count, 1.0), 1.0)
+    return out * scale
+
+
+# ---------------------------------------------------------------------------
+# Slice-based convolution variants (NormConv2d / Add2d engines)
+# ---------------------------------------------------------------------------
+
+
+def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)  # type: ignore[return-value]
+
+
+def extract_patches2d(
+    x: Array,
+    kernel_size: Tuple[int, int],
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+) -> Array:
+    """im2col in channel-last layout.
+
+    Returns ``(N, H', W', kh*kw*C)`` with the patch vector ordered ``(kh, kw, c)`` —
+    i.e. a ``(kh, kw, C, O)`` HWIO kernel flattened with ``reshape(-1, O)`` lines up.
+    Static shapes; XLA lowers the shifted strided slices to cheap copies.
+    """
+    kh, kw = kernel_size
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    n, h, w, c = x.shape
+    out_h = (h + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    out_w = (w + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    rows = []
+    for i in range(kh):
+        for j in range(kw):
+            rows.append(
+                jax.lax.slice(
+                    x,
+                    (0, i * dh, j * dw, 0),
+                    (n, i * dh + (out_h - 1) * sh + 1, j * dw + (out_w - 1) * sw + 1, c),
+                    (1, sh, sw, 1),
+                )
+            )
+    patches = jnp.stack(rows, axis=3)  # (N, H', W', kh*kw, C)
+    return patches.reshape(n, out_h, out_w, kh * kw * c)
+
+
+def _normalize_slices(patches: Array, eps: float) -> Array:
+    """Variance-normalize each patch vector (biased variance), as the reference does to
+    the unfolded slices (holocron/nn/functional.py:345-349)."""
+    mean = jnp.mean(patches, axis=-1, keepdims=True)
+    var = jnp.var(patches, axis=-1, keepdims=True)
+    return (patches - mean) * jax.lax.rsqrt(var + eps)
+
+
+def norm_conv2d(
+    x: Array,
+    weight: Array,
+    bias: Optional[Array] = None,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    eps: float = 1e-14,
+) -> Array:
+    """Normalized convolution (`Kim <https://github.com/kimdongsuk1/NormalizedCNN>`_):
+    standard conv applied to variance-normalized input slices.
+
+    Args:
+        x: ``(N, H, W, C)`` input
+        weight: ``(kh, kw, C, O)`` HWIO kernel
+        bias: ``(O,)``
+
+    Reference: holocron/nn/functional.py:378-413. im2col + MXU matmul.
+    """
+    kh, kw, _, o = weight.shape
+    patches = extract_patches2d(x, (kh, kw), stride, padding, dilation)
+    patches = _normalize_slices(patches, eps)
+    out = jnp.dot(patches, weight.reshape(-1, o), preferred_element_type=x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def add2d(
+    x: Array,
+    weight: Array,
+    bias: Optional[Array] = None,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    normalize_slices: bool = False,
+    eps: float = 1e-14,
+) -> Array:
+    """Adder "convolution" (`AdderNet <https://arxiv.org/pdf/1912.13200.pdf>`_):
+    ``out[o] = -sum_d |patch[d] - w[o, d]|`` — an L1 analogue of the dot product.
+
+    Args:
+        x: ``(N, H, W, C)``; weight: ``(kh, kw, C, O)`` HWIO; bias ``(O,)``.
+
+    Reference: holocron/nn/functional.py:416-462.
+    """
+    kh, kw, _, o = weight.shape
+    patches = extract_patches2d(x, (kh, kw), stride, padding, dilation)
+    if normalize_slices:
+        patches = _normalize_slices(patches, eps)
+    w2 = weight.reshape(-1, o)  # (D, O)
+    out = -jnp.sum(jnp.abs(patches[..., :, None] - w2), axis=-2)
+    if bias is not None:
+        out = out + bias
+    return out

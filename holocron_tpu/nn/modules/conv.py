@@ -1,0 +1,232 @@
+"""Exotic convolution modules (NHWC, Flax linen).
+
+Reference: holocron/nn/modules/conv.py.
+"""
+
+import math
+from typing import List, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import functional as F
+from ..functional import _pair, extract_patches2d
+from ..init import kaiming_normal
+
+__all__ = ["Add2d", "Involution2d", "NormConv2d", "PyConv2d", "SlimConv2d"]
+
+_PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "circular": "wrap"}
+
+
+def _explicit_pad(x: jax.Array, padding: Tuple[int, int], padding_mode: str) -> jax.Array:
+    ph, pw = padding
+    return jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode=_PAD_MODES[padding_mode])
+
+
+class _SliceConv(nn.Module):
+    """Shared parameter plumbing for the im2col-based conv variants
+    (holocron/nn/modules/conv.py:21-52)."""
+
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    padding_mode: str = "zeros"
+    eps: float = 1e-14
+
+    def _weight_and_bias(self, in_channels: int):
+        kh, kw = _pair(self.kernel_size)
+        # match torch conv init: kaiming_uniform(a=sqrt(5)) ~ U(-b, b), b = 1/sqrt(fan_in)
+        fan_in = in_channels * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+        weight = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, minval=-bound * math.sqrt(3), maxval=bound * math.sqrt(3)),
+            (kh, kw, in_channels, self.out_channels),
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, minval=-bound, maxval=bound),
+                (self.out_channels,),
+            )
+        return weight, bias
+
+    def _padded_input(self, x: jax.Array):
+        pad = _pair(self.padding)
+        if self.padding_mode != "zeros":
+            return _explicit_pad(x, pad, self.padding_mode), (0, 0)
+        return x, pad
+
+
+class NormConv2d(_SliceConv):
+    """Normalized convolution (`Kim <https://arxiv.org/pdf/2005.05274v2.pdf>`_): a conv
+    applied to variance-normalized input slices.
+
+    Reference: holocron/nn/modules/conv.py:55-148. NHWC input; HWIO kernel param.
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight, bias = self._weight_and_bias(x.shape[-1])
+        x, pad = self._padded_input(x)
+        return F.norm_conv2d(x, weight, bias, self.stride, pad, self.dilation, self.eps)
+
+
+class Add2d(_SliceConv):
+    """AdderNet layer (`Chen et al. <https://arxiv.org/pdf/1912.13200.pdf>`_):
+    ``-sum |patch - w|`` in place of the dot product.
+
+    Reference: holocron/nn/modules/conv.py:150-248.
+    """
+
+    normalize_slices: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight, bias = self._weight_and_bias(x.shape[-1])
+        x, pad = self._padded_input(x)
+        return F.add2d(x, weight, bias, self.stride, pad, self.dilation, self.normalize_slices, self.eps)
+
+
+class SlimConv2d(nn.Module):
+    """SlimConv (`Qiu et al. <https://arxiv.org/pdf/2003.07469.pdf>`_): SE-style channel
+    weights, a flipped second pathway, halved reconstruction, two transform branches
+    (3x3 top; 1x1->3x3 bottom), channel concat.
+
+    Output channels: ``in_c // 2 + in_c // 4``. Reference: holocron/nn/modules/conv.py:251-370.
+    """
+
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    r: int = 32
+    L: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_c = x.shape[-1]
+        squeezed = max(in_c // self.r, self.L)
+        # channel-wise weights
+        z = jnp.mean(x, axis=(1, 2), keepdims=True)
+        z = nn.Conv(squeezed, (1, 1), kernel_init=kaiming_normal(), name="fc1")(z)
+        z = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(z)
+        z = nn.Conv(in_c, (1, 1), kernel_init=kaiming_normal(), name="fc2")(jax.nn.relu(z))
+        w = jax.nn.sigmoid(z)
+
+        half = in_c // 2
+        x_w = x * w
+        x_top = x_w[..., :half] + x_w[..., half:]
+        x_w = x * jnp.flip(w, axis=-1)
+        x_bot = x_w[..., :half] + x_w[..., half:]
+
+        conv_kw = {
+            "kernel_size": _pair(self.kernel_size),
+            "strides": _pair(self.stride),
+            "padding": _pair(self.padding),
+            "kernel_dilation": _pair(self.dilation),
+            "use_bias": self.use_bias,
+            "kernel_init": kaiming_normal(),
+        }
+        x_top = nn.Conv(half, name="conv_top", **conv_kw)(x_top)
+        x_bot = nn.Conv(in_c // 4, (1, 1), kernel_init=kaiming_normal(), name="conv_bot1")(x_bot)
+        x_bot = nn.Conv(in_c // 4, name="conv_bot2", **conv_kw)(x_bot)
+        return jnp.concatenate([x_top, x_bot], axis=-1)
+
+
+class PyConv2d(nn.Module):
+    """Pyramidal convolution (`Duta et al. <https://arxiv.org/pdf/2006.11538.pdf>`_):
+    parallel convs with growing kernel sizes / groups, outputs channel-concatenated.
+
+    Reference: holocron/nn/modules/conv.py:373-438 (incl. the power-of-two channel split
+    and default group schedule).
+    """
+
+    out_channels: int
+    kernel_size: int
+    num_levels: int = 2
+    padding: int = 0
+    groups: Optional[Sequence[int]] = None
+    use_bias: bool = True
+
+    def _level_plan(self) -> Tuple[List[int], List[int], List[int], List[int]]:
+        if self.num_levels == 1:
+            g = self.groups[0] if isinstance(self.groups, (list, tuple)) else 1
+            return [self.out_channels], [self.kernel_size], [self.padding], [g]
+        exp2 = int(math.log2(self.num_levels))
+        reminder = self.num_levels - 2**exp2
+        out_chans = [self.out_channels // 2 ** (exp2 + 1)] * (2 * reminder) + [
+            self.out_channels // 2**exp2
+        ] * (self.num_levels - 2 * reminder)
+        k_sizes = [self.kernel_size + 2 * idx for idx in range(self.num_levels)]
+        if self.groups is None:
+            groups = [1] + [
+                min(2 ** (2 + idx), out_chan) for idx, out_chan in zip(range(self.num_levels - 1), out_chans[1:])
+            ]
+        else:
+            if not isinstance(self.groups, (list, tuple)) or len(self.groups) != self.num_levels:
+                raise ValueError("The argument `groups` is expected to be a list of integer of size `num_levels`.")
+            groups = list(self.groups)
+        paddings = [self.padding + idx for idx in range(self.num_levels)]
+        return out_chans, k_sizes, paddings, groups
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_chans, k_sizes, paddings, groups = self._level_plan()
+        outs = [
+            nn.Conv(
+                oc,
+                (k, k),
+                padding=p,
+                feature_group_count=g,
+                use_bias=self.use_bias,
+                kernel_init=kaiming_normal(),
+                name=f"level{idx}",
+            )(x)
+            for idx, (oc, k, p, g) in enumerate(zip(out_chans, k_sizes, paddings, groups))
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+class Involution2d(nn.Module):
+    """Involution (`Li et al. <https://arxiv.org/pdf/2103.06255.pdf>`_): the kernel is
+    generated from the input (reduce -> span), then applied via unfolded multiply-add.
+
+    Reference: holocron/nn/modules/conv.py:441-499. NHWC.
+    """
+
+    kernel_size: int
+    padding: int = 0
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    reduction_ratio: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, c = x.shape
+        k = self.kernel_size
+        g = self.groups
+
+        kern_in = x
+        if self.stride > 1:
+            kern_in = nn.avg_pool(x, (self.stride, self.stride), strides=(self.stride, self.stride))
+        kern = nn.Conv(int(c // self.reduction_ratio), (1, 1), kernel_init=kaiming_normal(), name="reduce")(kern_in)
+        kern = nn.Conv(k**2 * g, (1, 1), kernel_init=kaiming_normal(), name="span")(kern)
+        oh, ow = kern.shape[1], kern.shape[2]
+        # (N, H', W', G, 1, K^2) — channel index is (k2, g) minor-major per torch's view
+        kern = kern.reshape(n, oh, ow, g, 1, k**2)
+
+        # unfolded input, patch-major (K^2, C) -> regroup to (G, C/G, K^2)
+        patches = extract_patches2d(x, (k, k), self.stride, self.padding, self.dilation)
+        patches = patches.reshape(n, oh, ow, k**2, c)
+        patches = jnp.moveaxis(patches, -2, -1).reshape(n, oh, ow, g, c // g, k**2)
+
+        out = jnp.sum(kern * patches, axis=-1)  # (N, H', W', G, C/G)
+        return out.reshape(n, oh, ow, c)

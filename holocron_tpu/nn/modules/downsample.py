@@ -1,0 +1,142 @@
+"""Pooling / downsampling modules (NHWC, Flax linen).
+
+Reference: holocron/nn/modules/downsample.py.
+"""
+
+from math import comb
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import functional as F
+
+__all__ = [
+    "SPP",
+    "BlurPool2d",
+    "ConcatDownsample2d",
+    "GlobalAvgPool2d",
+    "GlobalMaxPool2d",
+    "ZPool",
+]
+
+
+class ConcatDownsample2d(nn.Module):
+    """Loss-less space-to-depth downsampling from `YOLO9000
+    <https://pjreddie.com/media/files/papers/YOLO9000.pdf>`_.
+
+    Reference: holocron/nn/modules/downsample.py:26-43. On TPU this is a free
+    reshape/transpose (no jit-scripted variant needed — XLA folds it).
+    """
+
+    scale_factor: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return F.concat_downsample2d(x, self.scale_factor)
+
+
+class GlobalAvgPool2d(nn.Module):
+    """Global average pooling (`TResNet <https://arxiv.org/pdf/2003.13630.pdf>`_ fast pool).
+
+    NHWC: ``(N, H, W, C) -> (N, C)`` when ``flatten`` else ``(N, 1, 1, C)``.
+    Reference: holocron/nn/modules/downsample.py:58-78.
+    """
+
+    flatten: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = jnp.mean(x, axis=(1, 2))
+        return out if self.flatten else out[:, None, None, :]
+
+
+class GlobalMaxPool2d(nn.Module):
+    """Global max pooling counterpart of :class:`GlobalAvgPool2d`.
+
+    Reference: holocron/nn/modules/downsample.py:81-100.
+    """
+
+    flatten: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = jnp.max(x, axis=(1, 2))
+        return out if self.flatten else out[:, None, None, :]
+
+
+class BlurPool2d(nn.Module):
+    """Anti-aliased downsampling (`Zhang <https://arxiv.org/pdf/1904.11486.pdf>`_):
+    reflect-pad then a fixed binomial depthwise filter with stride.
+
+    The binomial kernel is a trace-time constant baked into the compiled program — the
+    TPU analog of the reference's per-device filter cache
+    (holocron/nn/modules/downsample.py:106-152).
+    """
+
+    kernel_size: int = 3
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.kernel_size <= 1:
+            raise AssertionError
+        channels = x.shape[-1]
+        k = self.kernel_size
+        # binomial coefficients of (0.5 + 0.5 z)^(k-1)
+        coeffs = jnp.asarray([comb(k - 1, i) / 2 ** (k - 1) for i in range(k)], dtype=x.dtype)
+        filt2d = coeffs[:, None] * coeffs[None, :]
+        # depthwise HWIO kernel: (kh, kw, 1, C)
+        kernel = jnp.tile(filt2d[:, :, None, None], (1, 1, 1, channels))
+        pad = ((self.stride - 1) + (k - 1)) // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride, self.stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=channels,
+        )
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (`He et al. <https://arxiv.org/pdf/1406.4729.pdf>`_):
+    concat of identity and stride-1 max pools with growing kernels.
+
+    Reference: holocron/nn/modules/downsample.py:154-167. NHWC.
+    """
+
+    kernel_sizes: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        feats = [x]
+        for k in self.kernel_sizes:
+            pad = k // 2
+            feats.append(
+                jax.lax.reduce_window(
+                    x,
+                    -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+                    jax.lax.max,
+                    window_dimensions=(1, k, k, 1),
+                    window_strides=(1, 1, 1, 1),
+                    padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                )
+            )
+        return jnp.concatenate(feats, axis=-1)
+
+
+class ZPool(nn.Module):
+    """Z-pool from `"Rotate to Attend" <https://arxiv.org/pdf/2010.03045.pdf>`_:
+    concat(max, mean) along ``axis`` (default: channel axis in NHWC).
+
+    Reference: holocron/nn/modules/downsample.py:170-183.
+    """
+
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return F.z_pool(x, self.axis)
