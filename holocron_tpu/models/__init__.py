@@ -1,0 +1,6 @@
+from . import checkpoints, presets
+from .checkpoints import *
+from .core import Model
+from .utils import ConvSequence, conv_sequence, fuse_conv_bn, load_pretrained_params, model_from_hf_hub
+from . import classification
+from .classification import *

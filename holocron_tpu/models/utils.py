@@ -1,0 +1,261 @@
+"""Shared model plumbing: the conv->norm->act->blurpool->attention->drop block builder,
+conv/BN fusion math, checkpoint factories, and pretrained-weight loading.
+
+Reference: holocron/models/utils.py.
+"""
+
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Any, Callable, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.modules.downsample import BlurPool2d
+from ..nn.init import kaiming_normal
+from .checkpoints import (
+    Checkpoint,
+    Dataset,
+    Evaluation,
+    LoadingMeta,
+    Metric,
+    PreProcessing,
+    TrainingRecipe,
+)
+from .core import Model
+from .layers import BatchNorm2d, apply_layer
+from .presets import IMAGENET, IMAGENETTE
+
+__all__ = ["ConvSequence", "conv_sequence", "fuse_conv_bn", "load_pretrained_params", "model_from_hf_hub"]
+
+logger = logging.getLogger(__name__)
+
+
+class ConvSequence(nn.Module):
+    """THE block builder: conv -> norm -> act -> (blurpool if stride > 1) -> attention
+    -> drop, with bias auto-disabled under normalization and the conv stride moved into
+    the BlurPool when ``blurpool`` is set.
+
+    Mirrors ``conv_sequence`` (holocron/models/utils.py:28-86) as a single NHWC module.
+
+    Layer factories:
+        act_layer: plain function ``x -> x`` or a module-factory ``() -> nn.Module``
+        norm_layer: ``(channels) -> nn.Module`` (default when True: :class:`BatchNorm2d`)
+        drop_layer: ``() -> nn.Module``
+        attention_layer: ``(channels) -> nn.Module``
+        conv_layer: ``(out_channels, kernel_size, **kw) -> nn.Module`` replacing nn.Conv
+    """
+
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: int = 1
+    padding: Union[int, str, Tuple[int, int]] = 0
+    dilation: int = 1
+    groups: int = 1
+    bias: Optional[bool] = None
+    act_layer: Optional[Callable] = None
+    norm_layer: Optional[Union[bool, Callable]] = None
+    drop_layer: Optional[Callable] = None
+    conv_layer: Optional[Callable] = None
+    bn_channels: Optional[int] = None
+    attention_layer: Optional[Callable] = None
+    blurpool: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        norm_factory = self.norm_layer
+        if norm_factory is True:
+            norm_factory = lambda c, name=None: BatchNorm2d(dtype=self.dtype, name=name)  # noqa: E731
+        use_bias = self.bias if self.bias is not None else norm_factory is None
+
+        conv_stride = self.stride
+        stride = 1 if (self.blurpool and conv_stride > 1) else conv_stride
+        ksize = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size, self.kernel_size)
+
+        if self.conv_layer is not None:
+            x = self.conv_layer(self.out_channels, self.kernel_size, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.out_channels,
+                ksize,
+                strides=(stride, stride),
+                padding=self.padding,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=use_bias,
+                kernel_init=kaiming_normal(),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        def make(factory, *args, name):
+            # deterministic child names keep the variable tree stable for checkpoints;
+            # factories that accept a ``name`` kwarg get it, others keep auto-names
+            try:
+                return factory(*args, name=name)
+            except TypeError:
+                return factory(*args)
+
+        if norm_factory is not None:
+            x = apply_layer(make(norm_factory, self.bn_channels or self.out_channels, name="bn"), x, train)
+        if self.act_layer is not None:
+            act = make(self.act_layer, name="act") if isinstance(self.act_layer, type) else self.act_layer
+            x = apply_layer(act, x, train)
+        if self.blurpool and conv_stride > 1:
+            x = BlurPool2d(stride=conv_stride, name="blurpool")(x)
+        if self.attention_layer is not None:
+            x = apply_layer(
+                make(self.attention_layer, self.bn_channels or self.out_channels, name="attention"), x, train
+            )
+        if self.drop_layer is not None:
+            x = apply_layer(make(self.drop_layer, name="drop"), x, train)
+        return x
+
+
+def conv_sequence(out_channels: int, **kwargs: Any) -> ConvSequence:
+    """Factory alias keeping the reference's name (holocron/models/utils.py:28)."""
+    return ConvSequence(out_channels=out_channels, **kwargs)
+
+
+def fuse_conv_bn(
+    kernel: jax.Array,
+    bn_scale: jax.Array,
+    bn_bias: jax.Array,
+    bn_mean: jax.Array,
+    bn_var: jax.Array,
+    conv_bias: Optional[jax.Array] = None,
+    eps: float = 1e-5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Algebraic conv+BN fusion — the core of RepVGG/MobileOne reparametrization.
+
+    Args:
+        kernel: HWIO conv kernel ``(kh, kw, in_c, out_c)``
+        bn_scale, bn_bias, bn_mean, bn_var: BN parameters/stats, each ``(out_c,)``
+
+    Returns:
+        ``(fused_kernel, fused_bias)``. Reference: holocron/models/utils.py:116-143.
+    """
+    if bn_bias.shape[0] != kernel.shape[-1]:
+        raise AssertionError("expected same number of output channels for both `conv` and `bn`")
+    scale_factor = bn_scale / jnp.sqrt(bn_var + eps)
+    fused_bias = bn_bias - scale_factor * bn_mean
+    if conv_bias is not None:
+        logger.warning("convolution layers placed before batch normalization should not have a bias.")
+        fused_bias = fused_bias + scale_factor * conv_bias
+    fused_kernel = kernel * scale_factor  # broadcast over the trailing out_c axis
+    return fused_kernel, fused_bias
+
+
+def load_pretrained_params(
+    model: Model,
+    url: Optional[str] = None,
+    progress: bool = True,
+    key_replacement: Optional[Tuple[str, str]] = None,
+    key_filter: Optional[str] = None,
+) -> None:
+    """Loads a released torch checkpoint into a :class:`Model`, converting the state
+    dict to the NHWC/Flax variable tree.
+
+    Reference: holocron/models/utils.py:89-113. In offline environments the download
+    failure degrades to default initialization with a warning (the same behavior the
+    reference has for a ``None`` url).
+    """
+    if url is None:
+        logger.warning("Invalid model URL, using default initialization.")
+        return
+    try:
+        import torch
+
+        state_dict = torch.hub.load_state_dict_from_url(url, progress=progress, map_location="cpu")
+    except Exception as e:  # zero-egress environments
+        logger.warning(f"Could not download checkpoint from {url} ({e}), using default initialization.")
+        return
+    if isinstance(key_filter, str):
+        state_dict = {k: v for k, v in state_dict.items() if k.startswith(key_filter)}
+    if isinstance(key_replacement, tuple):
+        state_dict = {k.replace(*key_replacement): v for k, v in state_dict.items()}
+    from ._torch_convert import convert_state_dict
+
+    model.load_variables(convert_state_dict(model, state_dict))
+
+
+def model_from_hf_hub(repo_id: str, **kwargs: Any) -> Model:
+    """Instantiates & loads a pretrained model from the HuggingFace hub.
+
+    Reference: holocron/models/utils.py:146-175.
+    """
+    from huggingface_hub import hf_hub_download
+
+    from . import classification
+
+    with Path(hf_hub_download(repo_id, filename="config.json", **kwargs)).open("rb") as f:
+        cfg = json.load(f)
+
+    model = classification.__dict__[cfg["arch"]](num_classes=len(cfg["classes"]), pretrained=False)
+    if model.default_cfg is None:
+        model.default_cfg = _checkpoint_from_hub_config(cfg)
+
+    import torch
+
+    state_dict = torch.load(
+        hf_hub_download(repo_id, filename="pytorch_model.bin", **kwargs), map_location="cpu"
+    )
+    from ._torch_convert import convert_state_dict
+
+    model.load_variables(convert_state_dict(model, state_dict))
+    return model
+
+
+def _configure_model(model: Model, checkpoint: Optional[Checkpoint], progress: bool = True) -> Model:
+    """Attaches ``default_cfg`` and loads pretrained params
+    (holocron/models/utils.py:178-188)."""
+    model.default_cfg = checkpoint
+    if isinstance(checkpoint, Checkpoint):
+        load_pretrained_params(model, checkpoint.meta.url, progress=progress)
+    return model
+
+
+def _checkpoint_from_hub_config(hub_config: dict) -> Checkpoint:
+    return Checkpoint(
+        evaluation=Evaluation(dataset=Dataset.IMAGENETTE, results={}),
+        meta=LoadingMeta(
+            url="N/A",
+            sha256="N/A",
+            size=0,
+            num_params=0,
+            arch=hub_config["arch"],
+            categories=hub_config["classes"],
+        ),
+        pre_processing=PreProcessing(
+            input_shape=tuple(hub_config["input_shape"]), mean=hub_config["mean"], std=hub_config["std"]
+        ),
+        recipe=TrainingRecipe(commit=None, script="references/classification/train.py", args=None),
+    )
+
+
+def _checkpoint(
+    arch: str,
+    url: str,
+    acc1: float,
+    acc5: float,
+    sha256: str,
+    size: int,
+    num_params: int,
+    commit: Optional[str] = None,
+    train_args: Optional[str] = None,
+    dataset: Dataset = Dataset.IMAGENETTE,
+) -> Checkpoint:
+    """Builds a Checkpoint entry (holocron/models/utils.py:207-230); ``input_shape`` is
+    channel-last."""
+    preset = IMAGENETTE if dataset == Dataset.IMAGENETTE else IMAGENET
+    return Checkpoint(
+        evaluation=Evaluation(dataset=dataset, results={Metric.TOP1_ACC: acc1, Metric.TOP5_ACC: acc5}),
+        meta=LoadingMeta(
+            url=url, sha256=sha256, size=size, num_params=num_params, arch=arch, categories=preset.classes
+        ),
+        pre_processing=PreProcessing(input_shape=(224, 224, 3), mean=preset.mean, std=preset.std),
+        recipe=TrainingRecipe(commit=commit, script="references/classification/train.py", args=train_args),
+    )

@@ -1,0 +1,2 @@
+from . import collectives
+from .mesh import batch_sharding, create_mesh, replicated, shard_batch

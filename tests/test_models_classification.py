@@ -1,0 +1,188 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holocron_tpu import models
+from holocron_tpu.models.classification.repvgg import RepVGG
+from holocron_tpu.models.core import Model
+
+
+def test_repvgg_forward_shapes():
+    # tiny config: full factory archs are exercised by test_factory_configs below
+    m = Model(RepVGG([1, 1], [8, 16], 1.0, 2.0, num_classes=5))
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    out = m(x)
+    assert out.shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_repvgg_train_updates_stats():
+    m = Model(RepVGG([1], [8], 1.0, 2.0, num_classes=5))
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    m(x)  # lazy init
+    before = m.variables["batch_stats"]["features_0_0"]["bn_3x3"]["mean"]
+    m(x, train=True)
+    after = m.variables["batch_stats"]["features_0_0"]["bn_3x3"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_repvgg_reparametrize_equivalence():
+    """The reference contract: <=1e-3 output drift after train->deploy fusion, and no BN
+    left in the deploy net (tests/test_models_classification.py:28-63)."""
+    m = Model(RepVGG([1, 1], [8, 16], 1.0, 2.0, num_classes=5))
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    m(x, train=True)  # move BN stats off init values
+    out_before = m(x)
+    m.reparametrize()
+    out_after = m(x)
+    np.testing.assert_allclose(np.asarray(out_before), np.asarray(out_after), atol=1e-3)
+    # deploy tree has a single conv per block and no BN params / stats
+    flat = jax.tree_util.tree_leaves_with_path(m.variables)
+    paths = ["/".join(str(p) for p in path) for path, _ in flat]
+    assert not any("bn" in p for p in paths)
+    assert "batch_stats" not in m.variables
+
+
+def test_repvgg_identity_channel_mismatch():
+    from holocron_tpu.models.classification.repvgg import RepBlock
+
+    block = RepBlock(planes=8, identity=True)
+    with pytest.raises(ValueError):
+        block.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)), train=False)
+
+
+def test_repvgg_num_params_parity():
+    # must match the reference checkpoint metadata (repvgg.py:187-202)
+    m = models.repvgg_a0()
+    m.init((1, 32, 32, 3))
+    assert m.num_params == 24741642
+
+
+@pytest.mark.parametrize(
+    "arch,a,b,blocks",
+    [
+        ("repvgg_a1", 1, 2.5, [1, 2, 4, 14, 1]),
+        ("repvgg_b0", 1, 2.5, [1, 4, 6, 16, 1]),
+    ],
+)
+def test_factory_configs(arch, a, b, blocks):
+    m = getattr(models, arch)()
+    assert m.module.width_multiplier == a
+    assert m.module.final_width_multiplier == b
+    assert list(m.module.num_blocks) == blocks
+    assert m.default_cfg is None  # no pretrained requested
+
+
+def test_default_cfg_attached():
+    # pretrained=True attaches the checkpoint metadata even when download is impossible
+    m = models.repvgg_a0(pretrained=True)
+    assert m.default_cfg is not None
+    assert m.default_cfg.meta.arch == "repvgg_a0"
+    assert m.default_cfg.evaluation.results[models.checkpoints.Metric.TOP1_ACC] == 0.9292
+
+
+@pytest.mark.parametrize(
+    "arch,expected_params",
+    [
+        ("resnet18", 11181642),
+        ("resnet50", 23528522),
+        ("resnet50d", 23547754),
+        ("resnext50_32x4d", 23000394),
+    ],
+)
+def test_resnet_num_params_parity(arch, expected_params):
+    # param counts must match the reference checkpoint metadata exactly
+    m = getattr(models, arch)()
+    m.init((1, 64, 64, 3))
+    assert m.num_params == expected_params
+
+
+def test_resnet_forward_and_grads():
+    from holocron_tpu.models.classification.resnet import BasicBlock, ResNet
+
+    m = Model(ResNet(BasicBlock, [1, 1], [8, 16], num_classes=5))
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    out = m(x)
+    assert out.shape == (2, 5)
+
+    def loss_fn(params):
+        logits = m.module.apply({"params": params, "batch_stats": m.state["batch_stats"]}, x, train=False)
+        return jnp.sum(logits**2)
+
+    grads = jax.grad(loss_fn)(m.params)
+    gmax = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert gmax > 0
+
+
+def test_resnet_variants_forward():
+    from holocron_tpu.models.classification.resnet import BasicBlock, Bottleneck, ResNet
+
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    # deep stem + avg downsample (ResNet-D mechanics)
+    m = Model(ResNet(Bottleneck, [1, 1], [8, 16], num_classes=5, deep_stem=True, avg_downsample=True))
+    assert m(x).shape == (2, 5)
+    # channel repeats (TridentNet mechanic) + zero-init residual
+    m = Model(ResNet(BasicBlock, [1], [8], num_classes=5, num_repeats=2, zero_init_residual=True))
+    assert m(x).shape == (2, 5)
+    scale = m.variables["params"]["layer_0_0"]["conv_1"]["bn"]["scale"]
+    assert float(jnp.max(jnp.abs(scale))) == 0.0
+
+
+def test_torch_checkpoint_conversion_parity():
+    """Build the torch train-form of a small RepVGG inline, convert its state dict, and
+    check logits match within 1e-4 — validates layout transposition + BN mapping."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    class TorchRepBlock(tnn.Module):
+        def __init__(self, in_c, out_c, stride, identity):
+            super().__init__()
+            self.branches = tnn.ModuleList([
+                tnn.Sequential(tnn.Conv2d(in_c, out_c, 3, stride, 1, bias=False), tnn.BatchNorm2d(out_c)),
+                tnn.Sequential(tnn.Conv2d(in_c, out_c, 1, stride, 0, bias=False), tnn.BatchNorm2d(out_c)),
+            ])
+            if identity:
+                self.branches.append(tnn.BatchNorm2d(out_c))
+
+        def forward(self, x):
+            return torch.relu(sum(b(x) for b in self.branches))
+
+    class TorchNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(
+                tnn.Sequential(TorchRepBlock(3, 8, 2, False), TorchRepBlock(8, 8, 1, True)),
+                tnn.Sequential(TorchRepBlock(8, 16, 2, False), TorchRepBlock(16, 16, 1, True)),
+            )
+            self.head = tnn.Linear(16, 5)
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.head(x.mean((2, 3)))
+
+    tm = TorchNet().eval()
+    # randomize BN stats so the conversion is non-trivial
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+                mod.weight.normal_(1, 0.2)
+                mod.bias.normal_(0, 0.2)
+
+    jm = Model(RepVGG([1, 1], [8, 16], 1.0, 1.0, num_classes=5))
+    from holocron_tpu.models._torch_convert import convert_state_dict
+
+    jm.load_variables(convert_state_dict(jm, tm.state_dict()))
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(jm(jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    # and the fused deploy net still matches the torch train-form output
+    jm.reparametrize()
+    got_deploy = np.asarray(jm(jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got_deploy, expected, atol=1e-3)
