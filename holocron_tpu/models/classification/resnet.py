@@ -234,7 +234,9 @@ class ResNet(nn.Module):
         if self.num_repeats > 1:
             x = jnp.tile(x, (1, 1, 1, self.num_repeats))
 
-        block_args = self.block_args if self.block_args is not None else {}
+        # the reference defaults block_args to {"groups": 1} (resnet.py:318-319) — this
+        # matters for blocks whose own default differs (SKBottleneck defaults groups=32)
+        block_args = self.block_args if self.block_args is not None else {"groups": 1}
         if not isinstance(block_args, (list, tuple)):
             block_args = [block_args] * len(self.num_blocks)
 

@@ -43,8 +43,9 @@ def avg_pool2d(
         return -(-eff // stride) + 1 if ceil_mode else eff // stride + 1
 
     oh, ow = out_size(h), out_size(w)
-    pad_h_hi = padding + max(0, (oh - 1) * stride + kernel_size - h - padding)
-    pad_w_hi = padding + max(0, (ow - 1) * stride + kernel_size - w - padding)
+    # high-side padding so the window grid produces exactly (oh, ow) outputs
+    pad_h_hi = max(0, (oh - 1) * stride + kernel_size - h - padding)
+    pad_w_hi = max(0, (ow - 1) * stride + kernel_size - w - padding)
     dims = (1, kernel_size, kernel_size, 1)
     strides = (1, stride, stride, 1)
     pads = ((0, 0), (padding, pad_h_hi), (padding, pad_w_hi), (0, 0))

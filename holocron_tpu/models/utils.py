@@ -77,7 +77,19 @@ class ConvSequence(nn.Module):
         ksize = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size, self.kernel_size)
 
         if self.conv_layer is not None:
-            x = self.conv_layer(self.out_channels, self.kernel_size, name="conv")(x)
+            # contract: factory(out_channels, kernel_size, *, stride, padding, dilation,
+            # groups, use_bias, dtype, name) -> module
+            x = self.conv_layer(
+                self.out_channels,
+                self.kernel_size,
+                stride=stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                groups=self.groups,
+                use_bias=use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         else:
             x = nn.Conv(
                 self.out_channels,

@@ -154,6 +154,8 @@ class PyConv2d(nn.Module):
     padding: int = 0
     groups: Optional[Sequence[int]] = None
     use_bias: bool = True
+    stride: int = 1
+    dtype: Optional[object] = None
 
     def _level_plan(self) -> Tuple[List[int], List[int], List[int], List[int]]:
         if self.num_levels == 1:
@@ -183,10 +185,12 @@ class PyConv2d(nn.Module):
             nn.Conv(
                 oc,
                 (k, k),
+                strides=(self.stride, self.stride),
                 padding=p,
                 feature_group_count=g,
                 use_bias=self.use_bias,
                 kernel_init=kaiming_normal(),
+                dtype=self.dtype,
                 name=f"level{idx}",
             )(x)
             for idx, (oc, k, p, g) in enumerate(zip(out_chans, k_sizes, paddings, groups))

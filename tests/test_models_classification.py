@@ -85,13 +85,27 @@ def test_default_cfg_attached():
 @pytest.mark.parametrize(
     "arch,expected_params",
     [
+        # expected values from the reference's checkpoint metadata / torch param counts
         ("resnet18", 11181642),
         ("resnet50", 23528522),
         ("resnet50d", 23547754),
         ("resnext50_32x4d", 23000394),
+        ("rexnet1_0x", 4796186),
+        ("darknet19", 19827626),
+        ("darknet24", 22413386),
+        ("darknet53", 40595178),
+        ("cspdarknet53", 26627434),
+        ("res2net50_26w_4s", 23670610),
+        ("sknet50", 35224394),
+        ("tridentnet50", 45826634),
+        ("pyconv_resnet50", 22819210),
+        ("pyconvhg_resnet50", 23206218),
+        ("convnext_atto", 3377730),
+        ("mobileone_s0", 4277991),
+        ("mobileone_s1", 3555188),
     ],
 )
-def test_resnet_num_params_parity(arch, expected_params):
+def test_num_params_parity(arch, expected_params):
     # param counts must match the reference checkpoint metadata exactly
     m = getattr(models, arch)()
     m.init((1, 64, 64, 3))
@@ -127,6 +141,79 @@ def test_resnet_variants_forward():
     assert m(x).shape == (2, 5)
     scale = m.variables["params"]["layer_0_0"]["conv_1"]["bn"]["scale"]
     assert float(jnp.max(jnp.abs(scale))) == 0.0
+
+
+def test_mobileone_reparametrize_equivalence():
+    m = models.mobileone_s1(num_classes=5)
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 3))
+    m(x, train=True)
+    out_before = m(x)
+    m.reparametrize()
+    out_after = m(x)
+    rel = np.abs(np.asarray(out_before - out_after)) / (np.abs(np.asarray(out_before)) + 1e-6)
+    assert rel.max() < 1e-3
+    assert "batch_stats" not in m.variables
+    with pytest.raises(AssertionError):
+        m.reparametrize()
+
+
+def test_rexnet_partial_residual():
+    from holocron_tpu.models.classification.rexnet import ReXBlock
+
+    # stride-1, growing channels: out[..., :in_c] must include the input residual
+    block = ReXBlock(channels=12, t=6, stride=1, use_se=False)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 8))
+    variables = block.init(jax.random.key(1), x, train=False)
+    out = block.apply(variables, x, train=False)
+    assert out.shape == (2, 8, 8, 12)
+    zeroed = jax.tree.map(jnp.zeros_like, variables["params"])
+    out0 = block.apply({"params": zeroed, "batch_stats": variables["batch_stats"]}, x, train=False)
+    # with zero weights the block output reduces to the shortcut on the first in_c chans
+    np.testing.assert_allclose(np.asarray(out0[..., :8]), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out0[..., 8:]), 0.0, atol=1e-6)
+
+
+def test_convnext_forward_and_sd():
+    from holocron_tpu.models.classification.convnext import ConvNeXt
+
+    m = Model(ConvNeXt([1, 1], [8, 16], num_classes=5, stochastic_depth_prob=0.5))
+    x = jax.random.normal(jax.random.key(0), (4, 32, 32, 3))
+    out = m(x)
+    assert out.shape == (4, 5)
+    # train mode with a dropout rng runs (stochastic depth active on the last block)
+    out_t = m(x, train=True, rngs={"dropout": jax.random.key(1)})
+    assert out_t.shape == (4, 5)
+
+    # the stochastic-depth primitive: row mode drops whole samples and rescales
+    from holocron_tpu.models.classification.convnext import stochastic_depth
+
+    v = jnp.ones((512, 2, 2, 1))
+    dropped = stochastic_depth(v, 0.5, jax.random.key(0), train=True)
+    row_vals = np.asarray(dropped).reshape(512, -1)
+    zero_rows = (row_vals == 0).all(axis=1)
+    kept_rows = ~zero_rows
+    assert zero_rows.any() and kept_rows.any()
+    np.testing.assert_allclose(row_vals[kept_rows], 2.0)  # 1 / survival
+    np.testing.assert_array_equal(np.asarray(stochastic_depth(v, 0.5, None, train=False)), np.asarray(v))
+
+
+def test_tridentconv_branch_semantics():
+    from holocron_tpu.models.classification.tridentnet import TridentConv2d
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 6))
+    conv = TridentConv2d(4, 3, padding=1, dilation=3)
+    variables = conv.init(jax.random.key(1), x)
+    out = conv.apply(variables, x)
+    assert out.shape == (1, 8, 8, 12)
+    # each branch shares the same kernel: feeding identical chunks must give identical
+    # branch outputs when dilation is uniform
+    conv1 = TridentConv2d(4, 3, padding=1, dilation=1)
+    xx = jnp.tile(x[..., :2], (1, 1, 1, 3))
+    v1 = conv1.init(jax.random.key(1), xx)
+    out1 = conv1.apply(v1, xx)
+    np.testing.assert_allclose(np.asarray(out1[..., :4]), np.asarray(out1[..., 4:8]), atol=1e-5)
+    with pytest.raises(ValueError):
+        conv.apply(variables, jnp.zeros((1, 8, 8, 7)))
 
 
 def test_torch_checkpoint_conversion_parity():
