@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["ScaleByState", "bias_correction", "l2_norm", "safe_local_lr", "tree_zeros"]
+__all__ = ["ScaleByState", "bias_correction", "l2_norm", "lr_at", "safe_local_lr", "tree_zeros"]
 
 
 class ScaleByState(NamedTuple):
@@ -30,3 +30,8 @@ def safe_local_lr(p_norm: jax.Array, denom: jax.Array) -> jax.Array:
 
 def bias_correction(beta: float, count: jax.Array) -> jax.Array:
     return 1.0 - beta**count
+
+
+def lr_at(lr, count):
+    """Resolves a learning rate that may be an optax-style schedule (count -> value)."""
+    return lr(count) if callable(lr) else lr

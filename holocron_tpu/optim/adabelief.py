@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ._common import tree_zeros
+from ._common import lr_at, tree_zeros
 
 __all__ = ["AdaBelief", "adabelief"]
 
@@ -38,6 +38,7 @@ def adabelief(
         if params is None:
             raise ValueError("AdaBelief requires params")
         count = state.count + 1
+        lr_t = lr_at(lr, count)
         bc1 = 1.0 - beta1**count
         bc2 = 1.0 - beta2**count
 
@@ -52,10 +53,10 @@ def adabelief(
             else:
                 new_max_v = max_v
                 denom = jnp.sqrt(new_v) / jnp.sqrt(bc2) + eps
-            return -(lr / bc1) * new_m / denom, new_m, new_v, new_max_v
+            return -(lr_t / bc1) * new_m / denom, new_m, new_v, new_max_v
 
         out = jax.tree.map(leaf_update, updates, params, state.mu, state.nu, state.max_nu)
-        is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        is_tup = lambda x: isinstance(x, tuple) and not hasattr(x, "_fields")  # noqa: E731
         pick = lambda i: jax.tree.map(lambda t: t[i], out, is_leaf=is_tup)  # noqa: E731
         return pick(0), AdaBeliefState(count, pick(1), pick(2), pick(3))
 

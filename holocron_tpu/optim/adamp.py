@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ._common import l2_norm, tree_zeros
+from ._common import l2_norm, lr_at, tree_zeros
 
 __all__ = ["AdamP", "adamp"]
 
@@ -40,6 +40,7 @@ def adamp(
         if params is None:
             raise ValueError("AdamP requires params")
         count = state.count + 1
+        lr_t = lr_at(lr, count)
         bc1 = 1.0 - beta1**count
         bc2 = 1.0 - beta2**count
 
@@ -59,10 +60,10 @@ def adamp(
             normalized_p = p / (l2_norm(p) + eps)
             projected = pt - jnp.sum(normalized_p * pt) * normalized_p
             pt = jnp.where(cos_sim < delta / math.sqrt(p.size), projected, pt)
-            return -lr * pt, new_m, new_v, new_max_v
+            return -lr_t * pt, new_m, new_v, new_max_v
 
         out = jax.tree.map(leaf_update, updates, params, state.mu, state.nu, state.max_nu)
-        is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        is_tup = lambda x: isinstance(x, tuple) and not hasattr(x, "_fields")  # noqa: E731
         pick = lambda i: jax.tree.map(lambda t: t[i], out, is_leaf=is_tup)  # noqa: E731
         return pick(0), AdamPState(count, pick(1), pick(2), pick(3))
 

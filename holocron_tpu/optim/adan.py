@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ._common import tree_zeros
+from ._common import lr_at, tree_zeros
 
 __all__ = ["Adan", "adan"]
 
@@ -44,6 +44,7 @@ def adan(
         if params is None:
             raise ValueError("Adan requires params")
         count = state.count + 1
+        lr_t = lr_at(lr, count)
         bc1 = 1.0 - beta1**count
         bc2 = 1.0 - beta2**count
         bc3 = 1.0 - beta3**count
@@ -64,13 +65,13 @@ def adan(
             pt = (new_m / bc1 + beta2 * new_d / bc2) / denom
             # the decoupled WD divide: p_new = (p - lr*pt) / (1 + wd*lr); expressed as an
             # additive update on p
-            new_p = (p - lr * pt) / (1 + weight_decay * lr) if weight_decay != 0 else p - lr * pt
+            new_p = (p - lr_t * pt) / (1 + weight_decay * lr_t) if weight_decay != 0 else p - lr_t * pt
             return new_p - p, new_m, new_d, new_v, new_max_v, grad
 
         out = jax.tree.map(
             leaf_update, updates, params, state.mu, state.delta, state.nu, state.max_nu, state.prev_grad
         )
-        is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        is_tup = lambda x: isinstance(x, tuple) and not hasattr(x, "_fields")  # noqa: E731
         pick = lambda i: jax.tree.map(lambda t: t[i], out, is_leaf=is_tup)  # noqa: E731
         return pick(0), AdanState(count, pick(1), pick(2), pick(3), pick(4), pick(5))
 

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ._common import tree_zeros
+from ._common import lr_at, tree_zeros
 
 __all__ = ["AdEMAMix", "ademamix"]
 
@@ -38,6 +38,7 @@ def ademamix(
         if params is None:
             raise ValueError("AdEMAMix requires params")
         count = state.count + 1
+        lr_t = lr_at(lr, count)
         bc1 = 1.0 - beta1**count
         bc2 = 1.0 - beta2**count
 
@@ -47,10 +48,10 @@ def ademamix(
             new_v = beta2 * v + (1 - beta2) * grad * grad
             new_m2 = beta3 * m2 + (1 - beta3) * grad
             denom = jnp.sqrt(new_v) / jnp.sqrt(bc2) + eps
-            return -lr * (new_m1 / bc1 + alpha * new_m2) / denom, new_m1, new_m2, new_v
+            return -lr_t * (new_m1 / bc1 + alpha * new_m2) / denom, new_m1, new_m2, new_v
 
         out = jax.tree.map(leaf_update, updates, params, state.mu_fast, state.mu_slow, state.nu)
-        is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        is_tup = lambda x: isinstance(x, tuple) and not hasattr(x, "_fields")  # noqa: E731
         pick = lambda i: jax.tree.map(lambda t: t[i], out, is_leaf=is_tup)  # noqa: E731
         return pick(0), AdEMAMixState(count, pick(1), pick(2), pick(3))
 

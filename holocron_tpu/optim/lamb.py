@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ._common import ScaleByState, l2_norm, safe_local_lr, tree_zeros
+from ._common import ScaleByState, l2_norm, lr_at, safe_local_lr, tree_zeros
 
 __all__ = ["LAMB", "lamb"]
 
@@ -22,7 +22,7 @@ def lamb(
     weight_decay: float = 0.0,
     scale_clip: Optional[Tuple[float, float]] = None,
 ) -> optax.GradientTransformation:
-    if lr < 0.0:
+    if not callable(lr) and lr < 0.0:
         raise ValueError(f"Invalid learning rate: {lr}")
     if eps < 0.0:
         raise ValueError(f"Invalid epsilon value: {eps}")
@@ -38,6 +38,8 @@ def lamb(
     def update_fn(updates, state, params):
         if params is None:
             raise ValueError("LAMB requires params")
+        count = state.count + 1
+        lr_t = lr_at(lr, count)
         mu = jax.tree.map(lambda m, g: beta1 * m + (1 - beta1) * g, state.mu, updates)
         nu = jax.tree.map(lambda v, g: beta2 * v + (1 - beta2) * g * g, state.nu, updates)
 
@@ -47,10 +49,10 @@ def lamb(
                 update = update + weight_decay * p
             phi_p = jnp.clip(l2_norm(p), clip_lo, clip_hi)
             local_lr = safe_local_lr(phi_p, l2_norm(update))
-            return -lr * local_lr * update
+            return -lr_t * local_lr * update
 
         new_updates = jax.tree.map(leaf_update, mu, nu, params)
-        return new_updates, ScaleByState(state.count + 1, mu, nu)
+        return new_updates, ScaleByState(count, mu, nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ._common import l2_norm, safe_local_lr, tree_zeros
+from ._common import l2_norm, lr_at, safe_local_lr, tree_zeros
 
 __all__ = ["LARS", "lars"]
 
@@ -29,7 +29,7 @@ def lars(
     nesterov: bool = False,
     scale_clip: Optional[Tuple[float, float]] = None,
 ) -> optax.GradientTransformation:
-    if not isinstance(lr, float) or lr < 0.0:
+    if not callable(lr) and (not isinstance(lr, float) or lr < 0.0):
         raise ValueError(f"Invalid learning rate: {lr}")
     if momentum < 0.0:
         raise ValueError(f"Invalid momentum value: {momentum}")
@@ -45,6 +45,7 @@ def lars(
         if params is None:
             raise ValueError("LARS requires params")
         count = state.count + 1
+        lr_t = lr_at(lr, count)
 
         def leaf_update(g, p, buf):
             p_norm = l2_norm(p)
@@ -53,15 +54,15 @@ def lars(
             denom = g_norm + weight_decay * p_norm
             local_lr = safe_local_lr(p_norm, denom)
             if momentum == 0:
-                return -lr * local_lr * d_p, buf
+                return -lr_t * local_lr * d_p, buf
             # torch seeds the buffer with the raw first-step gradient (lars.py:125-127)
             new_buf = jnp.where(state.count == 0, d_p, momentum * buf + (1 - dampening) * d_p)
             d = d_p + momentum * new_buf if nesterov else new_buf
-            return -lr * local_lr * d, new_buf
+            return -lr_t * local_lr * d, new_buf
 
         flat = jax.tree.map(leaf_update, updates, params, state.momentum_buffer)
-        new_updates = jax.tree.map(lambda pair: pair[0], flat, is_leaf=lambda x: isinstance(x, tuple))
-        new_buf = jax.tree.map(lambda pair: pair[1], flat, is_leaf=lambda x: isinstance(x, tuple))
+        new_updates = jax.tree.map(lambda pair: pair[0], flat, is_leaf=lambda x: isinstance(x, tuple) and not hasattr(x, "_fields"))
+        new_buf = jax.tree.map(lambda pair: pair[1], flat, is_leaf=lambda x: isinstance(x, tuple) and not hasattr(x, "_fields"))
         return new_updates, LarsState(count, new_buf)
 
     return optax.GradientTransformation(init_fn, update_fn)

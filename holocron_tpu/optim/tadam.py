@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ._common import tree_zeros
+from ._common import lr_at, tree_zeros
 
 __all__ = ["TAdam", "tadam"]
 
@@ -44,6 +44,7 @@ def tadam(
         if params is None:
             raise ValueError("TAdam requires params")
         count = state.count + 1
+        lr_t = lr_at(lr, count)
         bc1 = 1.0 - beta1**count
         bc2 = 1.0 - beta2**count
 
@@ -61,11 +62,11 @@ def tadam(
             else:
                 new_max_v = max_v
                 denom = jnp.sqrt(new_v) / jnp.sqrt(bc2) + eps
-            update = -(lr / bc1) * new_m / denom
+            update = -(lr_t / bc1) * new_m / denom
             return update, new_m, new_v, new_big_w, new_max_v
 
         out = jax.tree.map(leaf_update, updates, params, state.mu, state.nu, state.big_w, state.max_nu)
-        is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        is_tup = lambda x: isinstance(x, tuple) and not hasattr(x, "_fields")  # noqa: E731
         pick = lambda i: jax.tree.map(lambda t: t[i], out, is_leaf=is_tup)  # noqa: E731
         return pick(0), TAdamState(count, pick(1), pick(2), pick(3), pick(4))
 

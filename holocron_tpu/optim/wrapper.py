@@ -57,7 +57,7 @@ def lookahead(
             return new_param - p, new_slow
 
         out = jax.tree.map(leaf, state.slow_params, params, base_updates)
-        is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        is_tup = lambda x: isinstance(x, tuple) and not hasattr(x, "_fields")  # noqa: E731
         new_updates = jax.tree.map(lambda t: t[0], out, is_leaf=is_tup)
         new_slow = jax.tree.map(lambda t: t[1], out, is_leaf=is_tup)
         return new_updates, LookaheadState(base_state, new_slow, count)
@@ -121,7 +121,7 @@ def scout(
             return new_param - p, new_slow, new_b
 
         out = jax.tree.map(leaf, state.slow_params, params, fast, buffer)
-        is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        is_tup = lambda x: isinstance(x, tuple) and not hasattr(x, "_fields")  # noqa: E731
         pick = lambda i: jax.tree.map(lambda t: t[i], out, is_leaf=is_tup)  # noqa: E731
         return pick(0), ScoutState(base_state, pick(1), pick(2), count)
 

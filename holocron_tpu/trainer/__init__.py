@@ -1,0 +1,5 @@
+from .classification import BinaryClassificationTrainer, ClassificationTrainer
+from .core import Trainer
+from .detection import DetectionTrainer
+from .segmentation import SegmentationTrainer
+from .utils import freeze_model, norm_param_mask, split_normalization_params, trainable_mask

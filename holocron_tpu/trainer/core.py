@@ -1,0 +1,392 @@
+"""The training engine: a jitted, mesh-sharded train step behind the reference's
+Trainer API.
+
+Reference: holocron/trainer/core.py. The single-GPU stateful loop becomes:
+
+- ONE compiled ``train_step`` (forward + loss + grads + clip + accumulation + optimizer
+  update + BN-stat updates) — XLA fuses the whole thing; the Python loop only feeds
+  batches and reads the scalar loss,
+- AMP -> bf16 compute: parameters and inputs are cast to bfloat16 inside the loss
+  function (no GradScaler needed — bf16 has fp32's exponent range),
+- gradient accumulation -> ``optax.MultiSteps``; NaN skipping -> ``optax.apply_if_finite``
+  with the reference's consecutive-failure tolerance,
+- data parallelism over all visible devices via a named mesh: batches are sharded on the
+  ``data`` axis, parameters replicated, and XLA inserts the gradient psum over ICI —
+  this replaces the reference's ``gpu`` index (SURVEY.md §2i).
+"""
+
+import math
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..models.core import Model
+from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from .utils import freeze_model, split_normalization_params
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    """Baseline trainer.
+
+    Args:
+        model: a :class:`~holocron_tpu.models.Model` bundle to train
+        train_loader: iterable of ``(x, target)`` NHWC numpy/JAX batches
+        val_loader: validation iterable
+        criterion: ``(output, target) -> scalar loss`` pure function
+        optimizer: optax transform, or a factory ``(lr_or_schedule) -> transform``
+            (factories enable LR scheduling; our zoo's functions qualify)
+        devices: devices for the data-parallel mesh (default: all visible)
+        output_file: checkpoint destination
+        amp: bf16 mixed-precision compute
+        skip_nan_loss: skip optimizer updates on non-finite gradients
+        nan_tolerance: consecutive non-finite batches before aborting
+        gradient_acc: number of batches to accumulate before each update
+        gradient_clip: global-norm gradient clip value
+        on_epoch_end: callback fed the epoch's eval metrics
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        train_loader: Optional[Iterable] = None,
+        val_loader: Optional[Iterable] = None,
+        criterion: Optional[Callable] = None,
+        optimizer: Union[optax.GradientTransformation, Callable, None] = None,
+        devices: Optional[Sequence] = None,
+        output_file: str = "./checkpoint.ckpt",
+        amp: bool = False,
+        skip_nan_loss: bool = False,
+        nan_tolerance: int = 5,
+        gradient_acc: int = 1,
+        gradient_clip: Optional[float] = None,
+        on_epoch_end: Optional[Callable[[Dict[str, float]], Any]] = None,
+    ) -> None:
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.criterion = criterion
+        self.optimizer = optimizer
+        self.amp = amp
+        self.on_epoch_end = on_epoch_end
+        self.skip_nan_loss = skip_nan_loss
+        self.nan_tolerance = nan_tolerance
+        self.gradient_acc = gradient_acc
+        self.grad_clip = gradient_clip
+        self.output_file = output_file
+
+        self.step = 0
+        self.start_epoch = 0
+        self.epoch = 0
+        self.min_loss = math.inf
+        self.lr_recorder: List[float] = []
+        self.loss_recorder: List[float] = []
+
+        self.set_device(devices)
+
+        self._tx: Optional[optax.GradientTransformation] = None
+        self._opt_state = None
+        self._train_step = None
+        self._rng = jax.random.key(12)
+
+    # ------------------------------------------------------------------
+    # device / mesh handling (replaces the reference's single-GPU binding)
+    # ------------------------------------------------------------------
+    def set_device(self, devices: Optional[Sequence] = None) -> None:
+        """Binds the trainer to a data-parallel mesh over the given devices."""
+        self.devices = list(devices) if devices is not None else jax.devices()
+        self.mesh = create_mesh(self.devices, ("data",)) if len(self.devices) > 1 else None
+
+    def to_device(self, x, target):
+        """Places a host batch on the mesh (data-sharded) or default device."""
+        if self.mesh is not None and np.shape(x)[0] % len(self.devices) == 0:
+            sharding = batch_sharding(self.mesh)
+            return jax.device_put(x, sharding), jax.device_put(target, sharding)
+        return jnp.asarray(x), target if not isinstance(target, (np.ndarray, jnp.ndarray)) else jnp.asarray(target)
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def save(self, output_file: str) -> None:
+        """Saves {epoch, step, min_loss, model variables} (reference core.py:106-124)."""
+        state = {
+            "epoch": self.epoch,
+            "step": self.step,
+            "min_loss": self.min_loss,
+            "model": jax.tree.map(np.asarray, self.model.variables),
+        }
+        Path(output_file).write_bytes(serialization.msgpack_serialize(state))
+
+    def load(self, state: Union[str, Dict[str, Any]]) -> None:
+        """Resumes from a trainer state dict or checkpoint path (core.py:126-133)."""
+        if isinstance(state, (str, Path)):
+            state = serialization.msgpack_restore(Path(state).read_bytes())
+        self.start_epoch = int(state["epoch"])
+        self.epoch = self.start_epoch
+        self.step = int(state["step"])
+        self.min_loss = float(state["min_loss"])
+        self.model.load_variables(jax.tree.map(jnp.asarray, state["model"]))
+
+    # ------------------------------------------------------------------
+    # optimizer / schedule setup
+    # ------------------------------------------------------------------
+    def _make_schedule(self, lr: float, total_steps: int, sched_type: str, **kwargs: Any):
+        if sched_type == "onecycle":
+            return optax.cosine_onecycle_schedule(total_steps, lr, **kwargs)
+        if sched_type == "cosine":
+            return optax.cosine_decay_schedule(lr, total_steps, **kwargs)
+        if sched_type == "constant":
+            return lambda count: lr
+        raise ValueError(f"The following scheduler type is not supported: {sched_type}")
+
+    def _base_tx(self, lr_or_schedule) -> optax.GradientTransformation:
+        if callable(self.optimizer) and not isinstance(self.optimizer, optax.GradientTransformation):
+            return self.optimizer(lr_or_schedule)
+        if isinstance(self.optimizer, optax.GradientTransformation):
+            return self.optimizer
+        raise ValueError("optimizer must be an optax transform or a factory lr -> transform")
+
+    def _reset_opt(
+        self,
+        lr_or_schedule,
+        norm_weight_decay: Optional[float] = None,
+        freeze_until: Optional[str] = None,
+    ) -> None:
+        params = self.model.params
+        if params is None:
+            raise RuntimeError("model parameters are not initialized — run a forward pass first")
+
+        mask = freeze_model(params, freeze_until)
+        if not any(jax.tree.leaves(mask)):
+            raise AssertionError("All parameters are frozen")
+        self._trainable_mask = mask
+
+        base = self._base_tx(lr_or_schedule)
+        if norm_weight_decay is not None:
+            # per-group weight decay on normalization params (core.py:238-252); applied
+            # as an extra additive decay on the norm group
+            norm_mask, _ = split_normalization_params(params)
+            base = optax.chain(
+                optax.masked(optax.add_decayed_weights(norm_weight_decay), norm_mask), base
+            )
+        inner = base
+        if isinstance(self.grad_clip, float):
+            inner = optax.chain(optax.clip_by_global_norm(self.grad_clip), inner)
+        if freeze_until is not None:
+            # masked() leaves non-selected updates untouched, so frozen leaves must be
+            # explicitly zeroed
+            not_mask = jax.tree.map(lambda m: not m, mask)
+            inner = optax.chain(optax.masked(inner, mask), optax.masked(optax.set_to_zero(), not_mask))
+        if self.gradient_acc > 1:
+            inner = optax.MultiSteps(inner, every_k_schedule=self.gradient_acc)
+        if self.skip_nan_loss:
+            inner = optax.apply_if_finite(inner, max_consecutive_errors=self.nan_tolerance)
+        self._tx = inner
+        self._opt_state = inner.init(params)
+        self._freeze_until = freeze_until
+        self._build_train_step()
+
+    def _build_train_step(self) -> None:
+        module = self.model.module
+        criterion = self.criterion
+        tx = self._tx
+        amp = self.amp
+        net_state = self.model.state or {}
+        mutable = list(net_state.keys())
+        # frozen layers keep their BN statistics too (the reference's freeze_bn)
+        stats_mask = None
+        if getattr(self, "_freeze_until", None) is not None and net_state:
+            stats_mask = {k: freeze_model(v, self._freeze_until) for k, v in net_state.items()}
+
+        def train_step(params, net_state, opt_state, x, target, rng):
+            def loss_fn(p):
+                p_c = jax.tree.map(lambda t: t.astype(jnp.bfloat16), p) if amp else p
+                x_c = x.astype(jnp.bfloat16) if amp else x
+                variables = {"params": p_c, **net_state}
+                if mutable:
+                    out, updates = module.apply(
+                        variables, x_c, train=True, mutable=mutable, rngs={"dropout": rng}
+                    )
+                else:
+                    out = module.apply(variables, x_c, train=True, rngs={"dropout": rng})
+                    updates = {}
+                out = jax.tree.map(lambda o: o.astype(jnp.float32), out)
+                return criterion(out, target), updates
+
+            (loss, new_net_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if stats_mask is not None:
+                new_net_state = jax.tree.map(
+                    lambda m, new, old: new if m else old, stats_mask, dict(new_net_state), net_state
+                )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_net_state, opt_state, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    # ------------------------------------------------------------------
+    # training loops
+    # ------------------------------------------------------------------
+    def _run_step(self, x, target) -> float:
+        x, target = self.to_device(x, target)
+        self._rng, step_rng = jax.random.split(self._rng)
+        params, net_state, self._opt_state, loss = self._train_step(
+            self.model.params, self.model.state or {}, self._opt_state, x, target, step_rng
+        )
+        self.model.variables = {"params": params, **net_state}
+        return float(loss)
+
+    def _fit_epoch(self) -> None:
+        """One pass over the training set (reference core.py:135-165)."""
+        nan_cnt = 0
+        for x, target in self.train_loader:
+            batch_loss = self._run_step(x, target)
+            if self.skip_nan_loss and not math.isfinite(batch_loss):
+                nan_cnt += 1
+                if nan_cnt > self.nan_tolerance:
+                    raise ValueError(
+                        f"loss value has been NaN or inf for more than {self.nan_tolerance} steps."
+                    )
+            else:
+                nan_cnt = 0
+            self.step += 1
+        self.epoch += 1
+
+    def evaluate(self) -> Dict[str, float]:
+        raise NotImplementedError
+
+    @staticmethod
+    def _eval_metrics_str(eval_metrics) -> str:
+        raise NotImplementedError
+
+    def fit_n_epochs(
+        self,
+        num_epochs: int,
+        lr: float,
+        freeze_until: Optional[str] = None,
+        sched_type: str = "onecycle",
+        norm_weight_decay: Optional[float] = None,
+        **kwargs: Any,
+    ) -> None:
+        """Train for ``num_epochs`` (reference core.py:271-316): freeze -> reset
+        opt/schedule -> epochs -> evaluate -> save best on val_loss -> callback."""
+        self.model._ensure_init(jnp.asarray(next(iter(self.train_loader))[0]))
+        steps_per_epoch = len(self.train_loader) if hasattr(self.train_loader, "__len__") else 1
+        schedule = self._make_schedule(lr, num_epochs * steps_per_epoch, sched_type, **kwargs)
+        self._reset_opt(schedule, norm_weight_decay, freeze_until)
+
+        for _ in range(num_epochs):
+            self._fit_epoch()
+            eval_metrics = self.evaluate()
+            print(f"Epoch {self.epoch}/{self.start_epoch + num_epochs} - {self._eval_metrics_str(eval_metrics)}")  # noqa: T201
+            if eval_metrics["val_loss"] < self.min_loss:
+                print(  # noqa: T201
+                    f"Validation loss decreased {self.min_loss:.4} --> {eval_metrics['val_loss']:.4}: saving state..."
+                )
+                self.min_loss = eval_metrics["val_loss"]
+                self.save(self.output_file)
+            if self.on_epoch_end is not None:
+                self.on_epoch_end(eval_metrics)
+
+    def find_lr(
+        self,
+        freeze_until: Optional[str] = None,
+        start_lr: float = 1e-7,
+        end_lr: float = 1,
+        norm_weight_decay: Optional[float] = None,
+        num_it: int = 100,
+    ) -> None:
+        """Exponential LR sweep recording the loss (reference core.py:318-370)."""
+        if hasattr(self.train_loader, "__len__") and num_it > len(self.train_loader):
+            raise ValueError("the value of `num_it` needs to be lower than the number of available batches")
+        self.model._ensure_init(jnp.asarray(next(iter(self.train_loader))[0]))
+        gamma = (end_lr / start_lr) ** (1 / (num_it - 1))
+        schedule = lambda count: start_lr * gamma ** jnp.maximum(count - 1, 0)  # noqa: E731
+        self._reset_opt(schedule, norm_weight_decay, freeze_until)
+
+        self.lr_recorder = [start_lr * gamma**idx for idx in range(num_it)]
+        self.loss_recorder = []
+        for batch_idx, (x, target) in enumerate(self.train_loader):
+            batch_loss = self._run_step(x, target)
+            if math.isnan(batch_loss) or math.isinf(batch_loss):
+                if batch_idx == 0:
+                    raise ValueError("loss value is NaN or inf.")
+                break
+            self.loss_recorder.append(batch_loss)
+            if batch_idx + 1 == num_it:
+                break
+        self.lr_recorder = self.lr_recorder[: len(self.loss_recorder)]
+
+    def plot_recorder(self, beta: float = 0.95, **kwargs: Any) -> None:
+        """Plots the LR-finder curve (reference core.py:372-405)."""
+        if len(self.lr_recorder) != len(self.loss_recorder) or len(self.lr_recorder) == 0:
+            raise AssertionError("Please run the `lr_find` method first")
+        import matplotlib.pyplot as plt
+
+        smoothed_losses = []
+        avg_loss = 0.0
+        for idx, loss in enumerate(self.loss_recorder):
+            avg_loss = beta * avg_loss + (1 - beta) * loss
+            smoothed_losses.append(avg_loss / (1 - beta ** (idx + 1)))
+        data_slice = slice(
+            min(len(self.loss_recorder) // 10, 10),
+            -min(len(self.loss_recorder) // 20, 5) if len(self.loss_recorder) >= 20 else len(self.loss_recorder),
+        )
+        vals = np.array(smoothed_losses[data_slice])
+        min_idx = vals.argmin()
+        max_val = vals.max() if min_idx is None else vals[: min_idx + 1].max()
+        delta = max_val - vals[min_idx]
+        plt.plot(self.lr_recorder[data_slice], smoothed_losses[data_slice])
+        plt.xscale("log")
+        plt.xlabel("Learning Rate")
+        plt.ylabel("Training loss")
+        plt.ylim(vals[min_idx] - 0.1 * delta, max_val + 0.2 * delta)
+        plt.grid(True, linestyle="--", axis="x")
+        plt.show(**kwargs)
+
+    def check_setup(
+        self,
+        freeze_until: Optional[str] = None,
+        lr: float = 3e-4,
+        norm_weight_decay: Optional[float] = None,
+        num_it: int = 100,
+        **kwargs: Any,
+    ) -> List[float]:
+        """Overfit-one-batch sanity check (reference core.py:407-451); returns losses."""
+        x, target = next(iter(self.train_loader))
+        self.model._ensure_init(jnp.asarray(x))
+        self._reset_opt(lr, norm_weight_decay, freeze_until)
+        losses = []
+        for _ in range(num_it):
+            batch_loss = self._run_step(x, target)
+            if math.isnan(batch_loss) or math.isinf(batch_loss):
+                raise ValueError("loss value is NaN or inf.")
+            losses.append(batch_loss)
+        return losses
+
+    # eval-side loss helper shared by the task trainers
+    def _eval_fns(self):
+        module = self.model.module
+        criterion = self.criterion
+        amp = self.amp
+
+        @jax.jit
+        def forward(variables, x):
+            if amp:
+                params = jax.tree.map(lambda t: t.astype(jnp.bfloat16), variables["params"])
+                variables = {**variables, "params": params}
+                x = x.astype(jnp.bfloat16)
+            out = module.apply(variables, x, train=False)
+            return jax.tree.map(lambda o: o.astype(jnp.float32), out)
+
+        def loss_and_logits(variables, x, target):
+            out = forward(variables, x)
+            return criterion(out, target), out
+
+        return forward, loss_and_logits

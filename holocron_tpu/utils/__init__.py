@@ -1,0 +1,2 @@
+from . import data
+from .misc import find_image_size, parallel

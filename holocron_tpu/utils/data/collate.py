@@ -1,0 +1,48 @@
+"""Batch collation utilities.
+
+Reference: holocron/utils/data/collate.py.
+"""
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["Mixup"]
+
+
+class Mixup:
+    """MixUp collate (`Zhang et al. <https://arxiv.org/pdf/1710.09412.pdf>`_): one-hot
+    targets, ``Beta(alpha, alpha)`` mixing factor, batch-shuffled convex combination.
+
+    Host-side (numpy) — runs in the input pipeline, like the reference's collate fn
+    (holocron/utils/data/collate.py:16-64). Randomness comes from a numpy Generator
+    (pass ``seed`` for determinism).
+
+    >>> mix = Mixup(num_classes=10, alpha=0.4)
+    >>> images, soft_targets = mix(images, hard_targets)
+    """
+
+    def __init__(self, num_classes: int, alpha: float = 0.2, seed: Optional[int] = None) -> None:
+        self.num_classes = num_classes
+        if alpha < 0:
+            raise ValueError("`alpha` only takes positive values")
+        self.alpha = alpha
+        self._rng = np.random.default_rng(seed)
+
+    def __call__(self, inputs: np.ndarray, targets: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        inputs = np.asarray(inputs)
+        targets = np.asarray(targets)
+        if targets.ndim == 1:
+            if self.num_classes > 1:
+                targets = np.eye(self.num_classes, dtype=inputs.dtype)[targets]
+            elif self.num_classes == 1:
+                targets = targets[:, None]
+        targets = targets.astype(inputs.dtype)
+
+        if self.alpha == 0:
+            return inputs, targets
+        lam = float(self._rng.beta(self.alpha, self.alpha))
+        index = self._rng.permutation(inputs.shape[0])
+        mixed_inputs = lam * inputs + (1 - lam) * inputs[index]
+        mixed_targets = lam * targets + (1 - lam) * targets[index]
+        return mixed_inputs, mixed_targets

@@ -1,0 +1,158 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holocron_tpu.models import detection
+from holocron_tpu.models.detection import pad_targets, post_process
+from holocron_tpu.models.detection.yolo import yolo_v12_losses
+
+
+def _make_targets(num_boxes, num_classes, seed=0):
+    rng = np.random.default_rng(seed)
+    gts = []
+    for num in num_boxes:
+        boxes = rng.random((num, 4), dtype=np.float32)
+        boxes[:, :2] *= boxes[:, 2:]
+        boxes[0, :2] = 0
+        boxes[0, 2:] = 1
+        if num > 1:
+            boxes[1, :2] = 0.2
+            boxes[1, 2:] = 0.8
+        labels = rng.integers(0, num_classes, size=(num,))
+        gts.append({"boxes": boxes, "labels": labels})
+    return gts
+
+
+@pytest.mark.parametrize(
+    ("arch", "input_shape"),
+    [("yolov1", (64, 64)), ("yolov2", (64, 64)), ("yolov4", (64, 64))],
+)
+def test_detection_model(arch, input_shape):
+    # mirrors the reference's generic contract test (tests/test_models_detection.py:9-64)
+    num_classes = 10
+    batch_size = 2
+    x = jax.random.uniform(jax.random.key(0), (batch_size, *input_shape, 3))
+    model = detection.__dict__[arch](pretrained_backbone=False, num_classes=num_classes)
+
+    out = model(x)
+    assert isinstance(out, list) and len(out) == batch_size
+    assert isinstance(out[0].get("boxes"), np.ndarray)
+    assert isinstance(out[0].get("scores"), np.ndarray)
+    assert isinstance(out[0].get("labels"), np.ndarray)
+
+    # list input does not change the output structure
+    out_list = model([x[0], x[1]])
+    assert len(out_list) == len(out)
+
+    # training mode without target
+    with pytest.raises(ValueError):
+        model(x, train=True)
+
+    # loss computation
+    loss = model(x, _make_targets([3, 4], num_classes))
+    assert isinstance(loss, dict)
+    for subloss in loss.values():
+        assert bool(jnp.isfinite(subloss))
+
+    # empty ground truth
+    empty = [{"boxes": np.zeros((0, 4), np.float32), "labels": np.zeros((0,), np.int64)} for _ in range(2)]
+    loss = model(x, empty)
+    for subloss in loss.values():
+        assert bool(jnp.isfinite(subloss))
+
+    # out-of-range boxes raise
+    with pytest.raises(ValueError):
+        model(x, [{"boxes": np.asarray([[0.0, 0.0, 2.0, 1.0]], np.float32), "labels": np.asarray([0])}])
+
+
+def test_detection_loss_grads():
+    model = detection.yolov2(pretrained_backbone=False, num_classes=5)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    model._ensure_init(x)
+    target = jax.tree.map(jnp.asarray, dict(pad_targets(_make_targets([2, 1], 5), 10)))
+
+    def loss_fn(params):
+        losses = model.module.apply({"params": params, **{k: v for k, v in model.variables.items() if k != "params"}},
+                                    x, target, train=False)
+        return sum(losses.values())
+
+    grads = jax.grad(loss_fn)(model.params)
+    gmax = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_yolo_closed_form_losses():
+    """Closed-form loss values on crafted predictions — the reference's exact scenario
+    (tests/test_models_detection.py:96-144)."""
+    h = w = 7
+    num_anchors, num_classes = 2, 10
+    lambda_obj, lambda_noobj, lambda_class, lambda_coords = 1.0, 0.5, 1.0, 5.0
+
+    # crafted predictions: every box is centered in its cell with wh = 1/7
+    xy_rel = np.full((1, h, w, num_anchors, 2), 0.5, np.float32)
+    xy_rel[0, 0, 0, 1, 0] = 0.8
+    wh = np.full((1, h, w, num_anchors, 2), 1 / 7, np.float32)
+    c_x = np.arange(w, dtype=np.float32).reshape(1, 1, -1, 1)
+    c_y = np.arange(h, dtype=np.float32).reshape(1, -1, 1, 1)
+    xy = np.stack([(xy_rel[..., 0] + c_x) / w, (xy_rel[..., 1] + c_y) / h], axis=-1)
+    pred_xyxy = np.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
+    pred_o = np.zeros((1, h, w, num_anchors), np.float32)
+    pred_o[0, 0, 0, 0] = 0.5
+    pred_o[0, -1, -1, 0] = 0.5
+    pred_scores = np.zeros((1, h, w, 1, num_classes), np.float32)
+    pred_scores[0, 0, 0, 0, 0] = 0.5
+    pred_scores[0, 0, 0, 0, 1:] = 0.5 / (num_classes - 1)
+
+    target = pad_targets([{"boxes": np.asarray([[0, 0, 1 / 7, 1 / 7]], np.float32), "labels": np.asarray([0])}], 4)
+    losses = yolo_v12_losses(
+        jnp.asarray(pred_xyxy), jnp.asarray(xy), jnp.asarray(wh), jnp.asarray(pred_o), jnp.asarray(pred_scores),
+        jax.tree.map(jnp.asarray, dict(target)),
+        lambda_obj, lambda_noobj, lambda_class, lambda_coords, ignore_high_iou=True,
+    )
+    # anchor 0 of cell (0,0) matches the GT exactly: IoU 1, pred_o 0.5
+    assert float(losses["obj_loss"]) == pytest.approx(lambda_obj * 0.5**2, abs=1e-6)
+    # the only other confident box (cell (6,6)) is far from the GT
+    assert float(losses["noobj_loss"]) == pytest.approx(lambda_noobj * 0.5**2, abs=1e-6)
+    assert float(losses["bbox_loss"]) == pytest.approx(0.0, abs=1e-6)
+    expected_clf = lambda_class * (0.5**2 + (num_classes - 1) * (0.5 / (num_classes - 1)) ** 2)
+    assert float(losses["clf_loss"]) == pytest.approx(expected_clf, abs=1e-6)
+
+
+def test_post_process_closed_form():
+    # 49 disjoint boxes, half the candidates confident -> all kept, label 0
+    h = w = 7
+    num_classes = 10
+    k = h * w * 2
+    boxes = np.zeros((1, k, 4), np.float32)
+    grid = np.stack(np.meshgrid(np.arange(w), np.arange(h)), -1).reshape(-1, 2)
+    centers = (grid + 0.5) / 7
+    boxes[0, 0::2, :2] = centers - 1 / 14
+    boxes[0, 0::2, 2:] = centers + 1 / 14
+    boxes[0, 1::2] = boxes[0, 0::2]
+    b_o = np.zeros((1, k), np.float32)
+    b_o[:, ::2] = 0.5
+    b_scores = np.zeros((1, k, num_classes), np.float32)
+    b_scores[..., 0] = 0.5
+    b_scores[..., 1:] = 0.5 / (num_classes - 1)
+    dets = post_process(jnp.asarray(boxes), jnp.asarray(b_o), jnp.asarray(b_scores))
+    keep = np.asarray(dets["keep"][0])
+    assert keep.sum() == k // 2
+    assert np.all(np.asarray(dets["labels"][0])[keep] == 0)
+
+
+def test_masked_nms():
+    from holocron_tpu.models.detection import masked_nms
+
+    boxes = jnp.asarray([
+        [0.0, 0.0, 0.5, 0.5],
+        [0.01, 0.01, 0.5, 0.5],  # overlaps box 0
+        [0.6, 0.6, 0.9, 0.9],
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    valid = jnp.asarray([True, True, True])
+    keep = masked_nms(boxes, scores, valid, iou_threshold=0.5)
+    np.testing.assert_array_equal(np.asarray(keep), [True, False, True])
+    # invalid candidates never kept and never suppress
+    keep = masked_nms(boxes, scores, jnp.asarray([False, True, True]), iou_threshold=0.5)
+    np.testing.assert_array_equal(np.asarray(keep), [False, True, True])

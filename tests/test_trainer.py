@@ -1,0 +1,238 @@
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holocron_tpu import optim
+from holocron_tpu.models.classification.repvgg import RepVGG
+from holocron_tpu.models.core import Model
+from holocron_tpu.nn import FocalLoss
+from holocron_tpu.nn.functional import cross_entropy
+from holocron_tpu.trainer import (
+    BinaryClassificationTrainer,
+    ClassificationTrainer,
+    SegmentationTrainer,
+    freeze_model,
+    norm_param_mask,
+)
+
+
+class MockLoader:
+    """Deterministic random dataset, reference MockClassificationDataset-style."""
+
+    def __init__(self, num_batches=4, batch_size=4, shape=(16, 16, 3), num_classes=5, seed=0, binary=False, seg=False):
+        rng = np.random.default_rng(seed)
+        self.batches = []
+        for _ in range(num_batches):
+            x = rng.normal(size=(batch_size, *shape)).astype(np.float32)
+            if binary:
+                y = rng.integers(0, 2, size=(batch_size,)).astype(np.float32)
+            elif seg:
+                y = rng.integers(0, num_classes, size=(batch_size, shape[0], shape[1])).astype(np.int32)
+            else:
+                y = rng.integers(0, num_classes, size=(batch_size,)).astype(np.int32)
+            self.batches.append((x, y))
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def tiny_model(num_classes=5):
+    return Model(RepVGG([1], [8], 1.0, 1.0, num_classes=num_classes))
+
+
+def make_trainer(**kwargs):
+    loader = MockLoader()
+    defaults = {
+        "model": tiny_model(),
+        "train_loader": loader,
+        "val_loader": MockLoader(num_batches=2, seed=1),
+        "criterion": cross_entropy,
+        "optimizer": lambda lr: optim.adabelief(lr=lr),
+    }
+    defaults.update(kwargs)
+    return ClassificationTrainer(**defaults)
+
+
+def test_fit_n_epochs(tmp_path, capsys):
+    trainer = make_trainer(output_file=str(tmp_path / "ckpt.bin"))
+    trainer.fit_n_epochs(2, lr=1e-3)
+    assert trainer.epoch == 2
+    assert trainer.step == 8
+    metrics = trainer.evaluate()
+    assert set(metrics) == {"val_loss", "acc1", "acc5"}
+    assert math.isfinite(metrics["val_loss"])
+    # best checkpoint got saved
+    assert (tmp_path / "ckpt.bin").exists()
+    assert "Validation loss decreased" in capsys.readouterr().out
+
+
+def test_training_reduces_loss():
+    trainer = make_trainer()
+    losses = trainer.check_setup(lr=5e-3, num_it=20)
+    assert len(losses) == 20
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer = make_trainer()
+    trainer.fit_n_epochs(1, lr=1e-3, sched_type="cosine")
+    trainer.save(str(tmp_path / "state.bin"))
+
+    trainer2 = make_trainer()
+    trainer2.model(jnp.zeros((1, 16, 16, 3)))  # init
+    trainer2.load(str(tmp_path / "state.bin"))
+    assert trainer2.epoch == 1
+    assert trainer2.step == 4
+    for a, b in zip(jax.tree.leaves(trainer.model.params), jax.tree.leaves(trainer2.model.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_freeze_until():
+    trainer = make_trainer()
+    x, y = next(iter(trainer.train_loader))
+    trainer.model(jnp.asarray(x))
+    before = jax.tree.map(np.asarray, trainer.model.params)
+    trainer.model._ensure_init(jnp.asarray(x))
+    trainer._reset_opt(1e-2, freeze_until="features_0_0")
+    trainer._run_step(x, y)
+    after = trainer.model.params
+    # frozen block params unchanged; head params changed
+    frozen_before = jax.tree.leaves(before["features_0_0"])
+    frozen_after = jax.tree.leaves(after["features_0_0"])
+    for a, b in zip(frozen_before, frozen_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(before["head"]["kernel"]), np.asarray(after["head"]["kernel"]))
+    # frozen BN stats unchanged too
+    with pytest.raises(ValueError):
+        trainer._reset_opt(1e-2, freeze_until="not_a_layer")
+
+
+def test_gradient_accumulation():
+    # hand-stepped accumulation state machine (reference tests/test_trainer.py:83-148):
+    # params must only change every `gradient_acc` steps
+    trainer = make_trainer(gradient_acc=2)
+    x, y = next(iter(trainer.train_loader))
+    trainer.model(jnp.asarray(x))
+    trainer._reset_opt(1e-2)
+    p0 = np.asarray(trainer.model.params["head"]["kernel"])
+    trainer._run_step(x, y)  # accumulation step: no update
+    p1 = np.asarray(trainer.model.params["head"]["kernel"])
+    np.testing.assert_array_equal(p0, p1)
+    trainer._run_step(x, y)  # update step
+    p2 = np.asarray(trainer.model.params["head"]["kernel"])
+    assert not np.array_equal(p1, p2)
+
+
+def test_nan_tolerance():
+    def nan_criterion(out, target):
+        return jnp.float32(jnp.nan)
+
+    trainer = make_trainer(criterion=nan_criterion, skip_nan_loss=True, nan_tolerance=2)
+    with pytest.raises(ValueError):
+        trainer.fit_n_epochs(1, lr=1e-3)
+
+
+def test_find_lr():
+    trainer = make_trainer()
+    trainer.find_lr(num_it=4)
+    assert len(trainer.lr_recorder) == len(trainer.loss_recorder) == 4
+    assert trainer.lr_recorder[-1] > trainer.lr_recorder[0]
+    with pytest.raises(ValueError):
+        trainer.find_lr(num_it=100)
+
+
+def test_amp_training():
+    trainer = make_trainer(amp=True)
+    losses = trainer.check_setup(lr=5e-3, num_it=10)
+    assert all(math.isfinite(v) for v in losses)
+    # params stay f32 masters
+    assert all(leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(trainer.model.params))
+
+
+def test_binary_classification_trainer():
+    model = tiny_model(num_classes=1)
+
+    def bce(out, target):
+        return jnp.mean(jnp.maximum(out, 0) - out * target + jnp.log1p(jnp.exp(-jnp.abs(out))))
+
+    trainer = BinaryClassificationTrainer(
+        model=model,
+        train_loader=MockLoader(binary=True, num_classes=1),
+        val_loader=MockLoader(binary=True, num_classes=1, seed=1),
+        criterion=bce,
+        optimizer=lambda lr: optim.adamp(lr=lr),
+    )
+    trainer.fit_n_epochs(1, lr=1e-3)
+    metrics = trainer.evaluate()
+    assert set(metrics) == {"val_loss", "acc"}
+    assert 0 <= metrics["acc"] <= 1
+
+
+def test_segmentation_trainer():
+    import flax.linen as nn
+
+    class TinySeg(nn.Module):
+        num_classes: int = 5
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(self.num_classes, (3, 3), padding=1)(x)
+
+    def seg_loss(out, target):
+        return cross_entropy(out, target)
+
+    trainer = SegmentationTrainer(
+        model=Model(TinySeg()),
+        train_loader=MockLoader(seg=True),
+        val_loader=MockLoader(seg=True, seed=1),
+        criterion=seg_loss,
+        optimizer=lambda lr: optim.lamb(lr=lr),
+        num_classes=5,
+    )
+    trainer.fit_n_epochs(1, lr=1e-3)
+    metrics = trainer.evaluate()
+    assert set(metrics) == {"val_loss", "acc_global", "mean_iou"}
+    assert 0 <= metrics["mean_iou"] <= 1
+
+
+def test_freeze_model_mask():
+    params = {"a": {"kernel": 1, "bias": 2}, "b": {"kernel": 3}, "c": {"kernel": 4}}
+    mask = freeze_model(params, "b")
+    assert mask == {"a": {"kernel": False, "bias": False}, "b": {"kernel": False}, "c": {"kernel": True}}
+    mask = freeze_model(params, None)
+    assert all(jax.tree.leaves(mask))
+    with pytest.raises(ValueError):
+        freeze_model(params, "zzz")
+
+
+def test_norm_param_mask():
+    params = {
+        "conv": {"kernel": np.ones(1), "bias": np.ones(1)},
+        "bn": {"scale": np.ones(1), "bias": np.ones(1)},
+    }
+    mask = norm_param_mask(params)
+    assert mask == {"conv": {"kernel": False, "bias": False}, "bn": {"scale": True, "bias": True}}
+
+
+def test_data_parallel_training():
+    # batch divisible by the 8-device CPU mesh: the step runs sharded over "data"
+    trainer = make_trainer(
+        train_loader=MockLoader(batch_size=8),
+        val_loader=MockLoader(batch_size=8, seed=1),
+    )
+    assert trainer.mesh is not None and len(trainer.devices) == 8
+    losses = trainer.check_setup(lr=5e-3, num_it=10)
+    assert losses[-1] < losses[0]
+
+
+def test_loss_criterion_object():
+    # criterion objects from the nn catalog work inside the jitted step
+    trainer = make_trainer(criterion=FocalLoss(gamma=2.0))
+    losses = trainer.check_setup(lr=5e-3, num_it=5)
+    assert all(math.isfinite(v) for v in losses)
