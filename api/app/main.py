@@ -1,0 +1,102 @@
+"""Inference HTTP service.
+
+Analog of api/app/main.py:15-48 — routes ``GET /status`` and ``POST /classification``
+plus an ``X-Process-Time`` header. Built on the stdlib HTTP server so it runs in
+dependency-free environments; when FastAPI/uvicorn are installed,
+``create_fastapi_app()`` exposes the same routes as an ASGI app.
+"""
+
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from . import config
+from .vision import classify_image
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _send(self, code: int, payload: dict, t0: float) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Process-Time", str(time.time() - t0))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        t0 = time.time()
+        if self.path == "/status":
+            self._send(200, {"status": "ok", "project": config.PROJECT_NAME, "version": config.VERSION}, t0)
+        else:
+            self._send(404, {"detail": "Not Found"}, t0)
+
+    def do_POST(self):  # noqa: N802
+        t0 = time.time()
+        if self.path != "/classification":
+            self._send(404, {"detail": "Not Found"}, t0)
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        data = self.rfile.read(length)
+        # accept either a raw image body or multipart (extract the first file part)
+        content_type = self.headers.get("Content-Type", "")
+        if content_type.startswith("multipart/form-data"):
+            boundary = content_type.split("boundary=")[-1].encode()
+            parts = data.split(b"--" + boundary)
+            data = b""
+            for part in parts:
+                if b"\r\n\r\n" in part and b"filename=" in part:
+                    data = part.split(b"\r\n\r\n", 1)[1].rstrip(b"\r\n")
+                    break
+        if not data:
+            self._send(422, {"detail": "no image payload"}, t0)
+            return
+        try:
+            label, confidence = classify_image(data)
+        except Exception as e:  # decoding / inference failure
+            self._send(400, {"detail": f"invalid image: {e}"}, t0)
+            return
+        self._send(200, {"value": label, "confidence": confidence}, t0)
+
+    def log_message(self, fmt, *log_args):  # quiet
+        pass
+
+
+def serve(host: str = config.HOST, port: int = config.PORT) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server
+
+
+def create_fastapi_app():
+    """Optional FastAPI app with the same surface (requires fastapi installed)."""
+    import time as _time
+
+    from fastapi import FastAPI, File, HTTPException, UploadFile
+
+    app = FastAPI(title=config.PROJECT_NAME, description=config.PROJECT_DESCRIPTION, version=config.VERSION)
+
+    @app.get("/status")
+    def status():
+        return {"status": "ok", "project": config.PROJECT_NAME, "version": config.VERSION}
+
+    @app.post("/classification")
+    async def classify(file: UploadFile = File(...)):
+        try:
+            label, confidence = classify_image(await file.read())
+        except Exception as e:
+            raise HTTPException(status_code=400, detail=f"invalid image: {e}") from e
+        return {"value": label, "confidence": confidence}
+
+    @app.middleware("http")
+    async def add_process_time(request, call_next):
+        t0 = _time.time()
+        response = await call_next(request)
+        response.headers["X-Process-Time"] = str(_time.time() - t0)
+        return response
+
+    return app
+
+
+if __name__ == "__main__":
+    print(f"Serving {config.PROJECT_NAME} on {config.HOST}:{config.PORT}")
+    serve().serve_forever()

@@ -1,0 +1,138 @@
+"""Host-side input pipeline: dataset abstractions + a threaded, prefetching loader.
+
+The TPU-native replacement for the reference's torch DataLoader workers
+(references/classification/train.py:137-146): a thread pool decodes/augments on host
+while the device computes, yielding contiguous NHWC numpy batches ready for
+``jax.device_put`` (the trainer shards them over the data mesh axis).
+"""
+
+import concurrent.futures as cf
+import random
+from pathlib import Path
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["DataLoader", "ImageFolder", "SyntheticDataset", "default_collate", "normalize_image"]
+
+IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def normalize_image(img, mean: Sequence[float], std: Sequence[float]) -> np.ndarray:
+    """uint8 HWC image -> float32 normalized NHWC-ready array."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+class ImageFolder:
+    """Directory-per-class image dataset (the torchvision ImageFolder contract)."""
+
+    def __init__(self, root: str, transform: Optional[Callable] = None, target_transform: Optional[Callable] = None):
+        self.root = Path(root)
+        if not self.root.is_dir():
+            raise FileNotFoundError(f"no such directory: {root}")
+        self.classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples: List[Tuple[Path, int]] = [
+            (p, self.class_to_idx[c])
+            for c in self.classes
+            for p in sorted((self.root / c).rglob("*"))
+            if p.suffix.lower() in IMG_EXTENSIONS
+        ]
+        self.transform = transform
+        self.target_transform = target_transform
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int):
+        from PIL import Image
+
+        path, target = self.samples[idx]
+        img = Image.open(path).convert("RGB")
+        if self.transform is not None:
+            img = self.transform(img)
+        if self.target_transform is not None:
+            target = self.target_transform(target)
+        return img, target
+
+
+class SyntheticDataset:
+    """Random dataset for smoke tests and --check-setup runs without real data."""
+
+    def __init__(self, num_samples: int = 128, shape=(224, 224, 3), num_classes: int = 10, task: str = "classification", seed: int = 0):
+        self.num_samples = num_samples
+        self.shape = shape
+        self.num_classes = num_classes
+        self.task = task
+        self._rng = np.random.default_rng(seed)
+        self._cache = {}
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __getitem__(self, idx: int):
+        if idx not in self._cache:
+            rng = np.random.default_rng(idx)
+            img = rng.normal(size=self.shape).astype(np.float32)
+            if self.task == "classification":
+                tgt = int(rng.integers(0, self.num_classes))
+            elif self.task == "segmentation":
+                tgt = rng.integers(0, self.num_classes, size=self.shape[:2]).astype(np.int32)
+            else:  # detection
+                n = int(rng.integers(1, 4))
+                boxes = np.sort(rng.random((n, 2, 2)), axis=1).transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
+                boxes = boxes[:, [0, 2, 1, 3]]
+                tgt = {"boxes": boxes, "labels": rng.integers(0, self.num_classes, size=(n,))}
+            self._cache[idx] = (img, tgt)
+        return self._cache[idx]
+
+
+def default_collate(batch: List[Tuple[Any, Any]]):
+    xs, ys = zip(*batch)
+    x = np.stack([np.asarray(v) for v in xs], axis=0)
+    if isinstance(ys[0], dict):
+        return x, list(ys)
+    return x, np.stack([np.asarray(v) for v in ys], axis=0)
+
+
+class DataLoader:
+    """Batched iteration with shuffling and threaded sample loading."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 32,
+        shuffle: bool = False,
+        collate_fn: Callable = default_collate,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.collate_fn = collate_fn
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self._rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        indices = list(range(len(self.dataset)))
+        if self.shuffle:
+            self._rng.shuffle(indices)
+        batches = [indices[i : i + self.batch_size] for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        if self.num_workers > 1:
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_ids in batches:
+                    samples = list(pool.map(self.dataset.__getitem__, batch_ids))
+                    yield self.collate_fn(samples)
+        else:
+            for batch_ids in batches:
+                yield self.collate_fn([self.dataset[i] for i in batch_ids])

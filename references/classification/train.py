@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Image classification training CLI.
+
+TPU-native analog of the reference's references/classification/train.py:79-363: the same
+argparse surface (actions --find-lr / --check-setup / --test-only, the optimizer zoo,
+Mixup collation, label smoothing, W&B tracking) over the jitted mesh-sharded trainer.
+Pass ``fake`` as data_path to train on a synthetic dataset (smoke runs / CI).
+"""
+
+import argparse
+import datetime
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+
+def build_optimizer(args):
+    import optax
+
+    from holocron_tpu import optim
+
+    wd = args.weight_decay
+    return {
+        "sgd": lambda lr: optax.sgd(lr, momentum=0.9),
+        "adam": lambda lr: optax.adam(lr),
+        "adamw": lambda lr: optax.adamw(lr, weight_decay=wd),
+        "radam": lambda lr: optax.radam(lr),
+        "adamp": lambda lr: optim.adamp(lr, weight_decay=wd),
+        "adabelief": lambda lr: optim.adabelief(lr, weight_decay=wd),
+        "ademamix": lambda lr: optim.ademamix(lr, weight_decay=wd),
+        "lamb": lambda lr: optim.lamb(lr, weight_decay=wd),
+        "lars": lambda lr: optim.lars(lr, momentum=0.9, weight_decay=wd),
+        "tadam": lambda lr: optim.tadam(lr, weight_decay=wd),
+        "adan": lambda lr: optim.adan(lr, weight_decay=wd),
+    }[args.opt]
+
+
+def build_datasets(args):
+    from holocron_tpu.models.presets import IMAGENETTE
+    from holocron_tpu.transforms import RandomZoomOut, Resize
+    from holocron_tpu.utils.data import ImageFolder, SyntheticDataset, normalize_image
+
+    if args.data_path == "fake":
+        shape = (args.train_crop_size, args.train_crop_size, 3)
+        train_set = SyntheticDataset(args.fake_samples, shape, args.num_classes)
+        val_set = SyntheticDataset(max(args.fake_samples // 4, args.batch_size), shape, args.num_classes, seed=1)
+        return train_set, val_set, [str(i) for i in range(args.num_classes)]
+
+    mean, std = IMAGENETTE.mean, IMAGENETTE.std
+
+    def train_tf(img):
+        img = Resize((args.train_crop_size, args.train_crop_size))(img)
+        arr = normalize_image(img, mean, std)
+        if np.random.random() < 0.5:  # random horizontal flip
+            arr = arr[:, ::-1]
+        return np.ascontiguousarray(arr)
+
+    def val_tf(img):
+        img = Resize((args.val_resize_size, args.val_resize_size))(img)
+        arr = normalize_image(img, mean, std)
+        off = (args.val_resize_size - args.val_crop_size) // 2
+        return arr[off : off + args.val_crop_size, off : off + args.val_crop_size]
+
+    train_set = ImageFolder(Path(args.data_path) / "train", transform=train_tf)
+    val_set = ImageFolder(Path(args.data_path) / "val", transform=val_tf)
+    return train_set, val_set, train_set.classes
+
+
+def main(args):
+    print(args)
+
+    from holocron_tpu.models import classification
+    from holocron_tpu.nn.functional import cross_entropy, multilabel_cross_entropy
+    from holocron_tpu.trainer import ClassificationTrainer
+    from holocron_tpu.utils.data import DataLoader, Mixup
+
+    train_set, val_set, classes = build_datasets(args)
+    num_classes = args.num_classes or len(classes)
+
+    collate = None
+    if args.mixup_alpha > 0:
+        mix = Mixup(num_classes, alpha=args.mixup_alpha)
+        from holocron_tpu.utils.data import default_collate
+
+        def collate(batch):  # noqa: F811
+            x, y = default_collate(batch)
+            return mix(x, y)
+
+    train_loader = DataLoader(
+        train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True,
+        **({"collate_fn": collate} if collate else {}),
+    )
+    val_loader = DataLoader(val_set, args.batch_size, num_workers=args.workers)
+
+    model = classification.__dict__[args.arch](pretrained=args.pretrained, num_classes=num_classes)
+
+    # label smoothing + soft-target support (Mixup produces dense targets)
+    def criterion(out, target):
+        if target.ndim == out.ndim:
+            smoothed = target * (1 - args.label_smoothing) + args.label_smoothing / num_classes
+            return multilabel_cross_entropy(out, smoothed)
+        return cross_entropy(out, target)
+
+    trainer = ClassificationTrainer(
+        model,
+        train_loader,
+        val_loader,
+        criterion,
+        build_optimizer(args),
+        output_file=args.output_file,
+        amp=args.amp,
+        gradient_acc=args.grad_acc,
+        gradient_clip=args.grad_clip,
+    )
+    if args.resume:
+        print(f"Resuming {args.resume}")
+        trainer.load(args.resume)
+
+    if args.find_lr:
+        trainer.find_lr(args.freeze_until, num_it=min(len(train_loader), 100), norm_weight_decay=args.norm_wd)
+        for lr, loss in zip(trainer.lr_recorder, trainer.loss_recorder):
+            print(f"lr={lr:.2e} loss={loss:.4f}")
+        return
+    if args.check_setup:
+        losses = trainer.check_setup(args.freeze_until, args.lr, norm_weight_decay=args.norm_wd, num_it=20)
+        print(f"overfit-one-batch losses: {losses[0]:.4f} -> {losses[-1]:.4f}")
+        return
+    if args.test_only:
+        print(trainer._eval_metrics_str(trainer.evaluate()))
+        return
+
+    on_epoch_end = None
+    if args.wb:
+        import wandb
+
+        run = wandb.init(name=args.name, project="holocron-tpu-classification", config=vars(args))
+        on_epoch_end = lambda metrics: run.log(metrics)  # noqa: E731
+        trainer.on_epoch_end = on_epoch_end
+
+    print(f"Training {args.arch} for {args.epochs} epochs on {len(train_set)} samples")
+    start_time = time.time()
+    trainer.fit_n_epochs(args.epochs, args.lr, args.freeze_until, args.sched, norm_weight_decay=args.norm_wd)
+    print(f"Training time {datetime.timedelta(seconds=int(time.time() - start_time))}")
+    if args.wb:
+        run.finish()
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(
+        description="holocron-tpu classification training", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    group = parser.add_argument_group("Data & model")
+    group.add_argument("data_path", type=str, help="path to dataset folder ('fake' for synthetic data)")
+    group.add_argument("--arch", default="darknet19", type=str, help="architecture to use")
+    group.add_argument("--pretrained", action="store_true", help="use pre-trained parameters")
+    group.add_argument("--num-classes", default=10, type=int, help="number of classes")
+    group.add_argument("--output-file", default="./checkpoint.ckpt", help="path where to save")
+    group.add_argument("--resume", default="", help="resume from checkpoint")
+    group.add_argument("--fake-samples", default=64, type=int, help="synthetic dataset size")
+
+    group = parser.add_argument_group("Hardware")
+    group.add_argument("--amp", help="use bf16 mixed precision", action="store_true")
+
+    group = parser.add_argument_group("Data loading")
+    group.add_argument("-b", "--batch-size", default=32, type=int, help="batch size")
+    group.add_argument("-j", "--workers", default=8, type=int, help="number of loader threads")
+
+    group = parser.add_argument_group("Transformations")
+    group.add_argument("--train-crop-size", default=176, type=int)
+    group.add_argument("--val-resize-size", default=232, type=int)
+    group.add_argument("--val-crop-size", default=224, type=int)
+    group.add_argument("--mixup-alpha", default=0.2, type=float)
+
+    group = parser.add_argument_group("Optimization")
+    group.add_argument("--epochs", default=20, type=int)
+    group.add_argument("--lr", default=1e-3, type=float)
+    group.add_argument("--freeze-until", default=None, type=str)
+    group.add_argument("--grad-acc", default=1, type=int)
+    group.add_argument("--grad-clip", default=None, type=float)
+    group.add_argument("--opt", default="adamp", type=str)
+    group.add_argument("--sched", default="onecycle", type=str)
+    group.add_argument("--wd", "--weight-decay", default=0, type=float, dest="weight_decay")
+    group.add_argument("--norm-wd", default=None, type=float)
+    group.add_argument("--label-smoothing", default=0.1, type=float)
+
+    group = parser.add_argument_group("Actions")
+    group.add_argument("--find-lr", action="store_true")
+    group.add_argument("--check-setup", action="store_true")
+    group.add_argument("--test-only", action="store_true")
+
+    group = parser.add_argument_group("Experiment tracking")
+    group.add_argument("--wb", action="store_true", help="log to Weights & Biases")
+    group.add_argument("--name", type=str, default=None)
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Model export for serving.
+
+TPU-native analog of the reference's scripts/export_to_onnx.py:18-61: instead of ONNX,
+models export to **StableHLO** (``jax.export`` — the portable XLA interchange format)
+and optionally a TensorFlow **SavedModel** via jax2tf. Reparametrizeable archs
+(RepVGG/MobileOne) are fused first, like the reference.
+
+Usage:
+    python scripts/export_model.py repvgg_a0 --format stablehlo --output model.stablehlo
+"""
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_forward(args):
+    from holocron_tpu import models
+
+    model = models.__dict__[args.arch](num_classes=args.num_classes)
+    model.init((1, args.size, args.size, 3))
+    if hasattr(model.module, "reparametrize"):
+        model.reparametrize()
+    module, variables = model.module, model.variables
+
+    def fwd(x):
+        return module.apply(variables, x, train=False)
+
+    example = jnp.zeros((args.batch, args.size, args.size, 3), jnp.float32)
+    return fwd, example, model
+
+
+def main(args):
+    fwd, example, model = build_forward(args)
+    out_path = Path(args.output or f"{args.arch}.{args.format}")
+
+    if args.format == "stablehlo":
+        exported = jax.export.export(jax.jit(fwd))(example)
+        out_path.write_bytes(exported.serialize())
+        # round-trip check
+        restored = jax.export.deserialize(out_path.read_bytes())
+        np.testing.assert_allclose(
+            np.asarray(restored.call(example)), np.asarray(fwd(example)), atol=1e-5
+        )
+    elif args.format == "savedmodel":
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        tf_fn = tf.function(
+            jax2tf.convert(fwd, with_gradient=False),
+            input_signature=[tf.TensorSpec(example.shape, tf.float32)],
+            autograph=False,
+        )
+        module = tf.Module()
+        module.serve = tf_fn
+        tf.saved_model.save(module, str(out_path))
+    else:
+        raise ValueError(f"unsupported format: {args.format}")
+    print(f"Exported {args.arch} ({model.num_params} params) to {out_path}")
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(
+        description="Model export", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("arch", type=str, help="architecture to export")
+    parser.add_argument("--format", type=str, default="stablehlo", choices=["stablehlo", "savedmodel"])
+    parser.add_argument("--output", type=str, default=None, help="output path")
+    parser.add_argument("--size", type=int, default=224, help="input size")
+    parser.add_argument("--batch", type=int, default=1, help="batch size")
+    parser.add_argument("--num-classes", type=int, default=10, help="number of classes")
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())
