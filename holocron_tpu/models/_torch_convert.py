@@ -61,6 +61,33 @@ def convert_state_dict(model, state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return _CONVERTERS[cls_name](model.module, state_dict)
 
 
+def _set(tree: Dict[str, Any], path: str, value) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _conv_at(state_dict, prefix: str, params, stats, dest: str) -> None:
+    """Maps a torch conv(+optional bias) at ``prefix`` to ``dest/{kernel,bias}``."""
+    _set(params, f"{dest}/kernel", t2j_conv(state_dict[f"{prefix}.weight"]))
+    if f"{prefix}.bias" in state_dict:
+        _set(params, f"{dest}/bias", jnp.asarray(_np(state_dict[f"{prefix}.bias"])))
+
+
+def _bn_at(state_dict, prefix: str, params, stats, dest: str) -> None:
+    p, s = t2j_bn(state_dict, prefix)
+    _set(params, dest, p)
+    _set(stats, dest, s)
+
+
+def _dense_at(state_dict, prefix: str, params, dest: str) -> None:
+    _set(params, f"{dest}/kernel", t2j_linear(state_dict[f"{prefix}.weight"]))
+    if f"{prefix}.bias" in state_dict:
+        _set(params, f"{dest}/bias", jnp.asarray(_np(state_dict[f"{prefix}.bias"])))
+
+
 @register_converter("RepVGG")
 def _convert_repvgg(module, state_dict):
     """Maps ``features.{s}.{j}.branches...`` / ``head.*`` keys
@@ -84,4 +111,279 @@ def _convert_repvgg(module, state_dict):
         "kernel": t2j_linear(state_dict["head.weight"]),
         "bias": jnp.asarray(_np(state_dict["head.bias"])),
     }
+    return {"params": params, "batch_stats": stats}
+
+
+@register_converter("ResNet")
+def _convert_resnet(module, state_dict):
+    """Maps the reference ResNet container's ``features.*`` Sequential indices
+    (holocron/models/classification/resnet.py:224-373) onto stem_*/layer_i_j names.
+
+    Supports BasicBlock/Bottleneck (incl. ResNeXt groups, deep stem, ResNet-D avg
+    downsampling) plus the Bottle2neck/SKBottleneck/Tridentneck layouts via the block
+    class name.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    block_name = module.block.__name__
+
+    idx = 0
+    num_stem = 3 if module.deep_stem else 1
+    for s in range(num_stem):
+        _conv_at(state_dict, f"features.{idx}", params, stats, f"stem_{s}/conv")
+        _bn_at(state_dict, f"features.{idx + 1}", params, stats, f"stem_{s}/bn")
+        idx += 3  # conv, bn, act
+    if module.stem_pool:
+        idx += 1
+    if module.num_repeats > 1:
+        idx += 1  # ChannelRepeat
+
+    # per-block conv layout: list of (flax_name, has_scale_conv) conv_sequence offsets
+    def convert_block(tprefix, dest, in_planes, planes):
+        if block_name == "BasicBlock":
+            layout = [("conv_0", 0), ("conv_1", 3)]
+        elif block_name in ("Bottleneck", "Tridentneck"):
+            layout = [("conv_0", 0), ("conv_1", 3), ("conv_2", 6)]
+        elif block_name == "Bottle2neck":
+            layout = [("conv_0", 0), ("conv_2", 4)]  # ScaleConv2d sits at conv index 3
+        elif block_name == "SKBottleneck":
+            layout = [("conv_0", 0), ("conv_2", 4)]  # SKConv2d at conv index 3
+        else:
+            raise NotImplementedError(f"unsupported block: {block_name}")
+        for name, off in layout:
+            _conv_at(state_dict, f"{tprefix}.conv.{off}", params, stats, f"{dest}/{name}/conv")
+            _bn_at(state_dict, f"{tprefix}.conv.{off + 1}", params, stats, f"{dest}/{name}/bn")
+        if block_name == "Bottle2neck":
+            # ScaleConv2d: conv list of [conv, bn, act] sequentials (res2net.py:42-58)
+            scale = module.block_args.get("scale", 4) if isinstance(module.block_args, dict) else 4
+            for k in range(max(1, scale - 1)):
+                _conv_at(state_dict, f"{tprefix}.conv.3.conv.{k}.0", params, stats, f"{dest}/conv_1/conv_{k}/conv")
+                _bn_at(state_dict, f"{tprefix}.conv.3.conv.{k}.1", params, stats, f"{dest}/conv_1/conv_{k}/bn")
+        if block_name == "SKBottleneck":
+            # SKConv2d: path_convs + SoftAttentionLayer (sknet.py:74-113)
+            for k in range(2):
+                _conv_at(state_dict, f"{tprefix}.conv.3.path_convs.{k}.0", params, stats, f"{dest}/conv_1/path_{k}/conv")
+                _bn_at(state_dict, f"{tprefix}.conv.3.path_convs.{k}.1", params, stats, f"{dest}/conv_1/path_{k}/bn")
+            _conv_at(state_dict, f"{tprefix}.conv.3.sa.1", params, stats, f"{dest}/conv_1/sa/fc1/conv")
+            _bn_at(state_dict, f"{tprefix}.conv.3.sa.2", params, stats, f"{dest}/conv_1/sa/fc1/bn")
+            _conv_at(state_dict, f"{tprefix}.conv.3.sa.4", params, stats, f"{dest}/conv_1/sa/fc2/conv")
+        # shortcut projection
+        if f"{tprefix}.downsample.0.weight" in state_dict and f"{tprefix}.downsample.0.running_mean" not in state_dict:
+            _conv_at(state_dict, f"{tprefix}.downsample.0", params, stats, f"{dest}/downsample/proj/conv")
+            _bn_at(state_dict, f"{tprefix}.downsample.1", params, stats, f"{dest}/downsample/proj/bn")
+        elif f"{tprefix}.downsample.1.weight" in state_dict:  # avg-pool variant
+            _conv_at(state_dict, f"{tprefix}.downsample.1", params, stats, f"{dest}/downsample/proj/conv")
+            _bn_at(state_dict, f"{tprefix}.downsample.2", params, stats, f"{dest}/downsample/proj/bn")
+
+    for i, nb in enumerate(module.num_blocks):
+        for j in range(nb):
+            convert_block(f"features.{idx}.{j}", f"layer_{i}_{j}", None, None)
+        idx += 1
+
+    _dense_at(state_dict, "head", params, "head")
+    return {"params": params, "batch_stats": stats}
+
+
+@register_converter("ReXNet")
+def _convert_rexnet(module, state_dict):
+    """Maps the reference ReXNet Sequential indices (rexnet.py:146-231)."""
+    from math import ceil
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    num_blocks = [ceil(e * module.depth_mult) for e in [1, 2, 2, 3, 3, 5]]
+    depth = sum(num_blocks)
+    ses = [False] * (num_blocks[0] + num_blocks[1]) + [module.use_se] * sum(num_blocks[2:])
+
+    _conv_at(state_dict, "features.0", params, stats, "stem/conv")
+    _bn_at(state_dict, "features.1", params, stats, "stem/bn")
+
+    t = 1
+    for i in range(depth):
+        tp = f"features.{3 + i}.conv"
+        dest = f"block_{i}"
+        off = 0
+        if t != 1:
+            _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/expand/conv")
+            _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/expand/bn")
+            off += 3
+        _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/dw/conv")
+        _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/dw/bn")
+        off += 2
+        if ses[i]:
+            se = f"{tp}.{off}.conv"
+            _conv_at(state_dict, f"{se}.0", params, stats, f"{dest}/se/fc1/conv")
+            _bn_at(state_dict, f"{se}.1", params, stats, f"{dest}/se/fc1/bn")
+            _conv_at(state_dict, f"{se}.3", params, stats, f"{dest}/se/fc2/conv")
+            off += 1
+        off += 1  # activation
+        _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/project/conv")
+        _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/project/bn")
+        t = 6
+
+    _conv_at(state_dict, f"features.{3 + depth}", params, stats, "penultimate/conv")
+    _bn_at(state_dict, f"features.{4 + depth}", params, stats, "penultimate/bn")
+    _dense_at(state_dict, "head.1", params, "head")
+    return {"params": params, "batch_stats": stats}
+
+
+@register_converter("DarknetV2")
+def _convert_darknetv2(module, state_dict):
+    """Maps darknetv2.py:32-185 (stem + maxpool/conv stages + 1x1 conv classifier)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    _conv_at(state_dict, "features.stem.0", params, stats, "features/stem/conv")
+    _bn_at(state_dict, "features.stem.1", params, stats, "features/stem/bn")
+    for i, (_, num_blocks) in enumerate(module.layout):
+        # layer Sequential: [maxpool, conv, bn, act] + num_blocks * 2 x [conv, bn, act]
+        idx = 1
+        for b in range(2 * num_blocks + 1):
+            _conv_at(state_dict, f"features.layers.{i}.{idx}", params, stats, f"features/layer_{i}_{b}/conv")
+            _bn_at(state_dict, f"features.layers.{i}.{idx + 1}", params, stats, f"features/layer_{i}_{b}/bn")
+            idx += 3
+    _conv_at(state_dict, "classifier", params, stats, "classifier")
+    return {"params": params, "batch_stats": stats}
+
+
+@register_converter("DarknetV3")
+def _convert_darknetv3(module, state_dict):
+    """Maps darknetv3.py:73-196 (stem + strided conv + ResBlocks per stage)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    _conv_at(state_dict, "features.stem.0", params, stats, "features/stem/conv")
+    _bn_at(state_dict, "features.stem.1", params, stats, "features/stem/bn")
+    for i, (_, num_blocks) in enumerate(module.layout):
+        base = f"features.layers.{i}"
+        _conv_at(state_dict, f"{base}.0", params, stats, f"features/layer_{i}_conv/conv")
+        _bn_at(state_dict, f"{base}.1", params, stats, f"features/layer_{i}_conv/bn")
+        for b in range(num_blocks):
+            tp = f"{base}.{3 + b}.conv"
+            dest = f"features/layer_{i}_block_{b}"
+            _conv_at(state_dict, f"{tp}.0", params, stats, f"{dest}/conv_0/conv")
+            _bn_at(state_dict, f"{tp}.1", params, stats, f"{dest}/conv_0/bn")
+            _conv_at(state_dict, f"{tp}.3", params, stats, f"{dest}/conv_1/conv")
+            _bn_at(state_dict, f"{tp}.4", params, stats, f"{dest}/conv_1/bn")
+    _dense_at(state_dict, "classifier", params, "classifier")
+    return {"params": params, "batch_stats": stats}
+
+
+@register_converter("DarknetV4")
+def _convert_darknetv4(module, state_dict):
+    """Maps darknetv4.py:38-226 (CSP stages). A configured drop_layer adds a
+    (param-free) DropBlock entry to every conv_sequence, shifting indices by one."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    step = 4 if module.drop_layer is not None else 3  # conv, bn, act(, drop)
+    _conv_at(state_dict, "features.stem.0", params, stats, "features/stem/conv")
+    _bn_at(state_dict, "features.stem.1", params, stats, "features/stem/bn")
+    for i, (_, num_blocks) in enumerate(module.layout):
+        base = f"features.stages.{i}"
+        dest = f"features/stage_{i}"
+        _conv_at(state_dict, f"{base}.base_layer.0", params, stats, f"{dest}/base_0/conv")
+        _bn_at(state_dict, f"{base}.base_layer.1", params, stats, f"{dest}/base_0/bn")
+        _conv_at(state_dict, f"{base}.base_layer.{step}", params, stats, f"{dest}/base_1/conv")
+        _bn_at(state_dict, f"{base}.base_layer.{step + 1}", params, stats, f"{dest}/base_1/bn")
+        for b in range(num_blocks):
+            tp = f"{base}.main.{b}.conv"
+            bd = f"{dest}/main_{b}"
+            _conv_at(state_dict, f"{tp}.0", params, stats, f"{bd}/conv_0/conv")
+            _bn_at(state_dict, f"{tp}.1", params, stats, f"{bd}/conv_0/bn")
+            _conv_at(state_dict, f"{tp}.{step}", params, stats, f"{bd}/conv_1/conv")
+            _bn_at(state_dict, f"{tp}.{step + 1}", params, stats, f"{bd}/conv_1/bn")
+        _conv_at(state_dict, f"{base}.main.{num_blocks}", params, stats, f"{dest}/main_conv/conv")
+        _bn_at(state_dict, f"{base}.main.{num_blocks + 1}", params, stats, f"{dest}/main_conv/bn")
+        _conv_at(state_dict, f"{base}.transition.0", params, stats, f"{dest}/transition/conv")
+        _bn_at(state_dict, f"{base}.transition.1", params, stats, f"{dest}/transition/bn")
+    _dense_at(state_dict, "classifier", params, "classifier")
+    return {"params": params, "batch_stats": stats}
+
+
+@register_converter("MobileOne")
+def _convert_mobileone(module, state_dict):
+    """Maps mobileone.py:31-235 (overparametrized depth/point blocks)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    k = module.overparam_factor
+
+    def convert_block(tprefix, dest, stride):
+        # DepthConvBlock: [bn?] + [1x1 seq] + k x [3x3 seq]
+        idx = 0
+        if stride == 1:
+            _bn_at(state_dict, f"{tprefix}.0.{idx}", params, stats, f"{dest}/depth/bn")
+            idx += 1
+        _conv_at(state_dict, f"{tprefix}.0.{idx}.0", params, stats, f"{dest}/depth/conv_s_conv")
+        _bn_at(state_dict, f"{tprefix}.0.{idx}.1", params, stats, f"{dest}/depth/conv_s_bn")
+        for b in range(k):
+            _conv_at(state_dict, f"{tprefix}.0.{idx + 1 + b}.0", params, stats, f"{dest}/depth/conv_{b}_conv")
+            _bn_at(state_dict, f"{tprefix}.0.{idx + 1 + b}.1", params, stats, f"{dest}/depth/conv_{b}_bn")
+        # PointConvBlock at index 2: [bn?] + k x [1x1 seq]
+        pidx = 0
+        if f"{tprefix}.2.0.running_mean" in state_dict:
+            _bn_at(state_dict, f"{tprefix}.2.0", params, stats, f"{dest}/point/bn")
+            pidx = 1
+        for b in range(k):
+            _conv_at(state_dict, f"{tprefix}.2.{pidx + b}.0", params, stats, f"{dest}/point/conv_{b}_conv")
+            _bn_at(state_dict, f"{tprefix}.2.{pidx + b}.1", params, stats, f"{dest}/point/conv_{b}_bn")
+
+    convert_block("features.0", "features_0", stride=2)
+    for s, nb in enumerate(module.num_blocks):
+        for j in range(nb):
+            convert_block(f"features.{s + 1}.{j}", f"features_{s + 1}_{j}", stride=2 if j == 0 else 1)
+    _dense_at(state_dict, "head", params, "head")
+    return {"params": params, "batch_stats": stats}
+
+
+@register_converter("ConvNeXt")
+def _convert_convnext(module, state_dict):
+    """Maps convnext.py:116-189 (patchify stem, blocks with LN/LayerScale, LN head)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def ln_at(prefix, dest):
+        _set(params, f"{dest}/scale", jnp.asarray(_np(state_dict[f"{prefix}.weight"])))
+        _set(params, f"{dest}/bias", jnp.asarray(_np(state_dict[f"{prefix}.bias"])))
+
+    _conv_at(state_dict, "features.0", params, stats, "stem_conv")
+    ln_at("features.1", "stem_norm")
+    stage_base = 2
+    out_planes = list(module.planes[1:]) + [module.planes[-1]]
+    for s, nb in enumerate(module.num_blocks):
+        for j in range(nb):
+            tp = f"features.{stage_base + s}.{j}.conv"
+            dest = f"stage_{s}_block_{j}"
+            _conv_at(state_dict, f"{tp}.0", params, stats, f"{dest}/dwconv")
+            ln_at(f"{tp}.1", f"{dest}/norm")
+            _conv_at(state_dict, f"{tp}.2", params, stats, f"{dest}/pwconv1")
+            _conv_at(state_dict, f"{tp}.4", params, stats, f"{dest}/pwconv2")
+            _set(params, f"{dest}/layer_scale/weight", jnp.asarray(_np(state_dict[f"{tp}.5.weight"])))
+        if module.planes[s] != out_planes[s]:
+            # trailing downsample cell inside the stage Sequential
+            tp = f"features.{stage_base + s}.{nb}"
+            ln_at(f"{tp}.0", f"stage_{s}_down_norm")
+            _conv_at(state_dict, f"{tp}.1", params, stats, f"stage_{s}_down_conv")
+    ln_at("head.0", "head_norm")
+    _dense_at(state_dict, "head.1", params, "head")
+    return {"params": params, "batch_stats": stats}
+
+
+@register_converter("DarknetV1")
+def _convert_darknetv1(module, state_dict):
+    """Maps darknet.py:29-129 (stem + maxpool/alternating-conv groups; no norm layers
+    by default, so convs carry biases)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    has_norm = module.norm_layer is not None
+    step = 3 if has_norm else 2  # conv(, bn), act
+    _conv_at(state_dict, "features.stem.0", params, stats, "features/stem/conv")
+    if has_norm:
+        _bn_at(state_dict, "features.stem.1", params, stats, "features/stem/bn")
+    for i, planes in enumerate(module.layout):
+        idx = 1  # skip the maxpool
+        for j in range(len(planes)):
+            _conv_at(state_dict, f"features.layers.{i}.{idx}", params, stats, f"features/layer_{i}_{j}/conv")
+            if has_norm:
+                _bn_at(state_dict, f"features.layers.{i}.{idx + 1}", params, stats, f"features/layer_{i}_{j}/bn")
+            idx += step
+    _dense_at(state_dict, "classifier", params, "classifier")
     return {"params": params, "batch_stats": stats}

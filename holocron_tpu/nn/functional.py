@@ -512,9 +512,14 @@ def add2d(
     dilation: Union[int, Tuple[int, int]] = 1,
     normalize_slices: bool = False,
     eps: float = 1e-14,
+    use_pallas: Optional[bool] = None,
 ) -> Array:
     """Adder "convolution" (`AdderNet <https://arxiv.org/pdf/1912.13200.pdf>`_):
     ``out[o] = -sum_d |patch[d] - w[o, d]|`` — an L1 analogue of the dot product.
+
+    On TPU the inner L1-matmul runs as a tiled Pallas kernel
+    (holocron_tpu/kernels/add2d.py) instead of materializing the ``(L, D, O)``
+    broadcast; pass ``use_pallas=False`` to force the XLA fallback.
 
     Args:
         x: ``(N, H, W, C)``; weight: ``(kh, kw, C, O)`` HWIO; bias ``(O,)``.
@@ -526,7 +531,15 @@ def add2d(
     if normalize_slices:
         patches = _normalize_slices(patches, eps)
     w2 = weight.reshape(-1, o)  # (D, O)
-    out = -jnp.sum(jnp.abs(patches[..., :, None] - w2), axis=-2)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..kernels.add2d import add2d_matmul_ad
+
+        n, oh, ow, d = patches.shape
+        out = add2d_matmul_ad(patches.reshape(-1, d), w2).reshape(n, oh, ow, o)
+    else:
+        out = -jnp.sum(jnp.abs(patches[..., :, None] - w2), axis=-2)
     if bias is not None:
         out = out + bias
     return out
