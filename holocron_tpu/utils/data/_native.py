@@ -1,0 +1,130 @@
+"""ctypes binding for the native data-loading core (native/holocron_loader.cpp).
+
+Builds the shared library on first use (``make`` in ``native/``) and exposes a
+batch JPEG decode + resize + normalize primitive producing NHWC float32 arrays.
+Falls back gracefully (returns None from :func:`load_native`) when the toolchain or
+libjpeg is unavailable — the pure-Python path in ``loader.py`` then applies.
+"""
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["decode_batch", "load_native", "native_available"]
+
+_LIB = None
+_TRIED = False
+_NATIVE_DIR = Path(__file__).resolve().parents[3] / "native"
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so_path = _NATIVE_DIR / "libholocron_loader.so"
+    if not so_path.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so_path))
+    except OSError:
+        return None
+    lib.hl_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.hl_decode_batch.restype = None
+    lib.hl_version.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+def decode_batch(
+    jpeg_buffers: Sequence[bytes],
+    out_h: int,
+    out_w: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+    num_threads: int = 8,
+) -> np.ndarray:
+    """Decodes a list of JPEG byte strings to a normalized (N, H, W, 3) float32 batch."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native loader is unavailable")
+    n = len(jpeg_buffers)
+    blob = b"".join(jpeg_buffers)
+    offsets = np.zeros(n + 1, dtype=np.uintp)
+    offsets[1:] = np.cumsum([len(b) for b in jpeg_buffers])
+    blob_arr = np.frombuffer(blob, dtype=np.uint8)
+    out = np.empty((n, out_h, out_w, 3), dtype=np.float32)
+    status = np.zeros(n, dtype=np.int32)
+    mean_arr = np.asarray(mean, dtype=np.float32)
+    std_arr = np.asarray(std, dtype=np.float32)
+    lib.hl_decode_batch(
+        blob_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        n,
+        out_h,
+        out_w,
+        mean_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    if status.any():
+        bad = np.nonzero(status)[0]
+        raise ValueError(f"failed to decode JPEG(s) at indices {bad.tolist()}")
+    return out
+
+
+class NativeImageFolder:
+    """ImageFolder variant that reads raw JPEG bytes; pair with a DataLoader collate
+    built from :func:`decode_batch` for a fully native decode path."""
+
+    def __init__(self, root: str):
+        root_path = Path(root)
+        self.classes = sorted(d.name for d in root_path.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples = [
+            (p, self.class_to_idx[c])
+            for c in self.classes
+            for p in sorted((root_path / c).rglob("*"))
+            if p.suffix.lower() in {".jpg", ".jpeg"}
+        ]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        path, target = self.samples[idx]
+        return path.read_bytes(), target
+
+
+def native_collate(out_h: int, out_w: int, mean, std, num_threads: int = 8):
+    """Builds a DataLoader collate_fn decoding raw JPEG samples natively."""
+
+    def collate(batch: List):
+        buffers, targets = zip(*batch)
+        x = decode_batch(list(buffers), out_h, out_w, mean, std, num_threads)
+        return x, np.asarray(targets)
+
+    return collate
