@@ -1,1 +1,2 @@
+from .functional import fused_preprocess
 from .interpolation import RandomZoomOut, Resize, ResizeMethod

@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holocron_tpu.models import ConvSequence, fuse_conv_bn
+from holocron_tpu.models.layers import BatchNorm2d
+
+
+def test_fuse_conv_bn_exact():
+    """Conv+BN fusion must be numerically exact (the reference asserts atol=1e-6,
+    tests/test_models.py:56-84)."""
+    rng = np.random.default_rng(0)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 8).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=8).astype(np.float32))
+    mean = jnp.asarray(rng.normal(size=8).astype(np.float32))
+    var = jnp.asarray(rng.uniform(0.5, 2.0, 8).astype(np.float32))
+
+    fused_k, fused_b = fuse_conv_bn(kernel, scale, bias, mean, var, eps=1e-5)
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    conv = lambda k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    ref = (conv(kernel) - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    fused = conv(fused_k) + fused_b
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+    # channel mismatch raises like the reference (models/utils.py:131-132)
+    with pytest.raises(AssertionError):
+        fuse_conv_bn(kernel, scale[:4], bias[:4], mean[:4], var[:4])
+
+
+def test_fuse_conv_bn_with_conv_bias():
+    rng = np.random.default_rng(1)
+    kernel = jnp.asarray(rng.normal(size=(1, 1, 2, 3)).astype(np.float32))
+    conv_bias = jnp.asarray(rng.normal(size=3).astype(np.float32))
+    scale, bias = jnp.ones(3), jnp.zeros(3)
+    mean, var = jnp.zeros(3), jnp.ones(3)
+    fused_k, fused_b = fuse_conv_bn(kernel, scale, bias, mean, var, conv_bias=conv_bias, eps=0.0)
+    np.testing.assert_allclose(np.asarray(fused_b), np.asarray(conv_bias), atol=1e-6)
+
+
+def test_conv_sequence_blurpool_ordering():
+    """With blurpool, the conv runs stride-1 and the blur filter does the downsampling
+    after norm+act (models/utils.py:66-84) — models silently depend on this order."""
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    cs = ConvSequence(6, kernel_size=3, stride=2, padding=1, norm_layer=True, act_layer=jax.nn.relu, blurpool=True)
+    variables = cs.init(jax.random.key(1), x, train=False)
+    out = cs.apply(variables, x, train=False)
+    assert out.shape == (1, 4, 4, 6)
+
+    # manual composition: stride-1 conv -> BN -> relu -> BlurPool(stride 2)
+    from holocron_tpu.nn import BlurPool2d
+
+    conv_out = jax.lax.conv_general_dilated(
+        x, variables["params"]["conv"]["kernel"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    bn = BatchNorm2d()
+    bn_vars = {"params": variables["params"]["bn"], "batch_stats": variables["batch_stats"]["bn"]}
+    normed = jax.nn.relu(bn.apply(bn_vars, conv_out, train=False))
+    blurred = BlurPool2d(stride=2).apply({}, normed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(blurred), atol=1e-5)
+
+
+def test_conv_sequence_bias_auto_off():
+    x = jnp.zeros((1, 4, 4, 3))
+    with_norm = ConvSequence(4, kernel_size=1, norm_layer=True)
+    v = with_norm.init(jax.random.key(0), x, train=False)
+    assert "bias" not in v["params"]["conv"]
+    without_norm = ConvSequence(4, kernel_size=1)
+    v = without_norm.init(jax.random.key(0), x, train=False)
+    assert "bias" in v["params"]["conv"]
+
+
+def test_conv_sequence_bn_channels():
+    # bn_channels overrides the norm width (the TridentNet 3x-width trick)
+    from holocron_tpu.models.classification.tridentnet import TridentConv2d
+
+    x = jnp.zeros((1, 4, 4, 6))
+    cs = ConvSequence(4, kernel_size=1, norm_layer=True, bn_channels=12, conv_layer=TridentConv2d)
+    v = cs.init(jax.random.key(0), x, train=False)
+    assert v["params"]["bn"]["scale"].shape == (12,)
+
+
+def test_conv_sequence_attention_and_drop():
+    from holocron_tpu.nn import SAM, DropBlock2d
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    cs = ConvSequence(
+        4,
+        kernel_size=3,
+        padding=1,
+        norm_layer=True,
+        act_layer=jax.nn.relu,
+        attention_layer=lambda c, name=None: SAM(name=name),
+        drop_layer=lambda name=None: DropBlock2d(p=0.1, name=name),
+    )
+    v = cs.init(jax.random.key(1), x, train=False)
+    assert "attention" in v["params"]
+    out = cs.apply(v, x, train=False)
+    assert out.shape == (1, 8, 8, 4)
+    out_t = cs.apply(v, x, train=True, rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"])[0]
+    assert out_t.shape == (1, 8, 8, 4)

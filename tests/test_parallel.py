@@ -1,0 +1,80 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from holocron_tpu.parallel import batch_sharding, collectives, create_mesh, replicated, shard_batch
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh(axes=("data",))
+    assert mesh.devices.size == 8
+    mesh = create_mesh(axes=("data", "model"), model_parallel=2)
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        create_mesh(axes=("data", "model"), model_parallel=3)
+
+
+def test_shard_batch_and_gradient_psum():
+    """Data-parallel train-step semantics: per-shard grads must be reduced by XLA so
+    the sharded step matches the single-device step."""
+    mesh = create_mesh(axes=("data",))
+    w = jnp.ones((4,))
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    g_single = jax.grad(loss)(w, jnp.asarray(x))
+
+    xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    ws = jax.device_put(w, replicated(mesh))
+    g_sharded = jax.jit(jax.grad(loss))(ws, xs)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-6)
+
+    batch = shard_batch({"x": x}, mesh)
+    assert batch["x"].sharding.spec == P("data")
+
+
+def test_collectives_in_shard_map():
+    from jax.experimental.shard_map import shard_map
+
+    mesh = create_mesh(axes=("data",))
+    x = jnp.arange(8.0)
+
+    def f(v):
+        return collectives.psum(v, "data"), collectives.pmean(v, "data"), collectives.axis_index("data").reshape(1)
+
+    total, mean, idx = jax.jit(
+        shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=(P("data"), P("data"), P("data")))
+    )(x)
+    np.testing.assert_allclose(np.asarray(total), np.full(8, 28.0))
+    np.testing.assert_allclose(np.asarray(mean), np.full(8, 3.5))
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(8))
+
+
+def test_all_gather_and_reduce_scatter():
+    from jax.experimental.shard_map import shard_map
+
+    mesh = create_mesh(axes=("data",))
+    x = jnp.arange(16.0).reshape(8, 2)
+
+    def f(v):
+        gathered = collectives.all_gather(v, "data")
+        return collectives.reduce_scatter(gathered, "data")
+
+    out = jax.jit(shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P("data")))(x)
+    # all_gather then reduce_scatter of an 8-way replicated concat = 8 * original
+    np.testing.assert_allclose(np.asarray(out), 8 * np.asarray(x))
+
+
+def test_fused_preprocess():
+    from holocron_tpu.transforms.functional import fused_preprocess
+
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 48, 64, 3)).astype(np.uint8)
+    out = fused_preprocess(jnp.asarray(imgs), (32, 32), dtype=jnp.float32)
+    assert out.shape == (2, 32, 32, 3)
+    ref = jax.image.resize(jnp.asarray(imgs, jnp.float32) / 255.0, (2, 32, 32, 3), "bilinear")
+    ref = (ref - jnp.asarray((0.485, 0.456, 0.406))) / jnp.asarray((0.229, 0.224, 0.225))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
