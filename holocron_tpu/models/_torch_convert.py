@@ -228,20 +228,25 @@ def _convert_rexnet(module, state_dict):
     return {"params": params, "batch_stats": stats}
 
 
+def convert_darknet_body_v2(layout, state_dict, params, stats, src: str = "features.", dest: str = "features/"):
+    """Body-only mapping for DarknetBodyV2 (reused by darknet19 and YOLOv2's backbone)."""
+    _conv_at(state_dict, f"{src}stem.0", params, stats, f"{dest}stem/conv")
+    _bn_at(state_dict, f"{src}stem.1", params, stats, f"{dest}stem/bn")
+    for i, (_, num_blocks) in enumerate(layout):
+        # layer Sequential: [maxpool, conv, bn, act] + num_blocks * 2 x [conv, bn, act]
+        idx = 1
+        for b in range(2 * num_blocks + 1):
+            _conv_at(state_dict, f"{src}layers.{i}.{idx}", params, stats, f"{dest}layer_{i}_{b}/conv")
+            _bn_at(state_dict, f"{src}layers.{i}.{idx + 1}", params, stats, f"{dest}layer_{i}_{b}/bn")
+            idx += 3
+
+
 @register_converter("DarknetV2")
 def _convert_darknetv2(module, state_dict):
     """Maps darknetv2.py:32-185 (stem + maxpool/conv stages + 1x1 conv classifier)."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    _conv_at(state_dict, "features.stem.0", params, stats, "features/stem/conv")
-    _bn_at(state_dict, "features.stem.1", params, stats, "features/stem/bn")
-    for i, (_, num_blocks) in enumerate(module.layout):
-        # layer Sequential: [maxpool, conv, bn, act] + num_blocks * 2 x [conv, bn, act]
-        idx = 1
-        for b in range(2 * num_blocks + 1):
-            _conv_at(state_dict, f"features.layers.{i}.{idx}", params, stats, f"features/layer_{i}_{b}/conv")
-            _bn_at(state_dict, f"features.layers.{i}.{idx + 1}", params, stats, f"features/layer_{i}_{b}/bn")
-            idx += 3
+    convert_darknet_body_v2(module.layout, state_dict, params, stats)
     _conv_at(state_dict, "classifier", params, stats, "classifier")
     return {"params": params, "batch_stats": stats}
 
@@ -274,29 +279,34 @@ def _convert_darknetv4(module, state_dict):
     (param-free) DropBlock entry to every conv_sequence, shifting indices by one."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    step = 4 if module.drop_layer is not None else 3  # conv, bn, act(, drop)
-    _conv_at(state_dict, "features.stem.0", params, stats, "features/stem/conv")
-    _bn_at(state_dict, "features.stem.1", params, stats, "features/stem/bn")
-    for i, (_, num_blocks) in enumerate(module.layout):
-        base = f"features.stages.{i}"
-        dest = f"features/stage_{i}"
-        _conv_at(state_dict, f"{base}.base_layer.0", params, stats, f"{dest}/base_0/conv")
-        _bn_at(state_dict, f"{base}.base_layer.1", params, stats, f"{dest}/base_0/bn")
-        _conv_at(state_dict, f"{base}.base_layer.{step}", params, stats, f"{dest}/base_1/conv")
-        _bn_at(state_dict, f"{base}.base_layer.{step + 1}", params, stats, f"{dest}/base_1/bn")
+    convert_darknet_body_v4(module.layout, state_dict, params, stats, has_drop=module.drop_layer is not None)
+    _dense_at(state_dict, "classifier", params, "classifier")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_darknet_body_v4(layout, state_dict, params, stats, src: str = "features.", dest: str = "features/", has_drop: bool = False):
+    """Body-only mapping for DarknetBodyV4 (reused by cspdarknet53 and YOLOv4)."""
+    step = 4 if has_drop else 3  # conv, bn, act(, drop)
+    _conv_at(state_dict, f"{src}stem.0", params, stats, f"{dest}stem/conv")
+    _bn_at(state_dict, f"{src}stem.1", params, stats, f"{dest}stem/bn")
+    for i, (_, num_blocks) in enumerate(layout):
+        base = f"{src}stages.{i}"
+        dest_i = f"{dest}stage_{i}"
+        _conv_at(state_dict, f"{base}.base_layer.0", params, stats, f"{dest_i}/base_0/conv")
+        _bn_at(state_dict, f"{base}.base_layer.1", params, stats, f"{dest_i}/base_0/bn")
+        _conv_at(state_dict, f"{base}.base_layer.{step}", params, stats, f"{dest_i}/base_1/conv")
+        _bn_at(state_dict, f"{base}.base_layer.{step + 1}", params, stats, f"{dest_i}/base_1/bn")
         for b in range(num_blocks):
             tp = f"{base}.main.{b}.conv"
-            bd = f"{dest}/main_{b}"
+            bd = f"{dest_i}/main_{b}"
             _conv_at(state_dict, f"{tp}.0", params, stats, f"{bd}/conv_0/conv")
             _bn_at(state_dict, f"{tp}.1", params, stats, f"{bd}/conv_0/bn")
             _conv_at(state_dict, f"{tp}.{step}", params, stats, f"{bd}/conv_1/conv")
             _bn_at(state_dict, f"{tp}.{step + 1}", params, stats, f"{bd}/conv_1/bn")
-        _conv_at(state_dict, f"{base}.main.{num_blocks}", params, stats, f"{dest}/main_conv/conv")
-        _bn_at(state_dict, f"{base}.main.{num_blocks + 1}", params, stats, f"{dest}/main_conv/bn")
-        _conv_at(state_dict, f"{base}.transition.0", params, stats, f"{dest}/transition/conv")
-        _bn_at(state_dict, f"{base}.transition.1", params, stats, f"{dest}/transition/bn")
-    _dense_at(state_dict, "classifier", params, "classifier")
-    return {"params": params, "batch_stats": stats}
+        _conv_at(state_dict, f"{base}.main.{num_blocks}", params, stats, f"{dest_i}/main_conv/conv")
+        _bn_at(state_dict, f"{base}.main.{num_blocks + 1}", params, stats, f"{dest_i}/main_conv/bn")
+        _conv_at(state_dict, f"{base}.transition.0", params, stats, f"{dest_i}/transition/conv")
+        _bn_at(state_dict, f"{base}.transition.1", params, stats, f"{dest_i}/transition/bn")
 
 
 @register_converter("MobileOne")
@@ -387,3 +397,39 @@ def _convert_darknetv1(module, state_dict):
             idx += step
     _dense_at(state_dict, "classifier", params, "classifier")
     return {"params": params, "batch_stats": stats}
+
+
+@register_converter("YOLOv2")
+def _convert_yolov2_backbone(module, state_dict):
+    """Backbone-only conversion for YOLOv2: maps a darknet19 classification checkpoint
+    (filtered to ``features.*`` keys, reference yolov2.py:262-269) into the detector's
+    ``backbone`` subtree. Head/neck params keep their current initialization — callers
+    must merge (see ``load_pretrained_params``)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    convert_darknet_body_v2(module.layout, state_dict, params, stats, src="features.", dest="backbone/")
+    return {"params": params, "batch_stats": stats, "__partial__": True}
+
+
+@register_converter("YOLOv4")
+def _convert_yolov4_backbone(module, state_dict):
+    """Backbone-only conversion for YOLOv4 from a cspdarknet53_mish checkpoint
+    (reference yolov4.py:707-720)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    convert_darknet_body_v4(
+        module.layout, state_dict, params, stats, src="features.", dest="backbone/",
+        has_drop=module.drop_layer is not None,
+    )
+    return {"params": params, "batch_stats": stats, "__partial__": True}
+
+
+def merge_variables(base: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[str, Any]:
+    """Recursively grafts ``overlay`` leaves onto ``base`` (for partial checkpoints)."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_variables(out[k], v)
+        else:
+            out[k] = v
+    return out

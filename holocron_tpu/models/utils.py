@@ -189,9 +189,16 @@ def load_pretrained_params(
         state_dict = {k: v for k, v in state_dict.items() if k.startswith(key_filter)}
     if isinstance(key_replacement, tuple):
         state_dict = {k.replace(*key_replacement): v for k, v in state_dict.items()}
-    from ._torch_convert import convert_state_dict
+    from ._torch_convert import convert_state_dict, merge_variables
 
-    model.load_variables(convert_state_dict(model, state_dict))
+    variables = convert_state_dict(model, state_dict)
+    if variables.pop("__partial__", False):
+        # partial (e.g. backbone-only) checkpoints graft onto the initialized tree
+        if model.variables is None:
+            shape = getattr(model.default_cfg, "pre_processing", None)
+            model.init((1, 64, 64, 3) if shape is None else (1, *shape.input_shape))
+        variables = merge_variables(model.variables, variables)
+    model.load_variables(variables)
 
 
 def model_from_hf_hub(repo_id: str, **kwargs: Any) -> Model:

@@ -370,6 +370,20 @@ class Trainer:
             losses.append(batch_loss)
         return losses
 
+    def profile(self, logdir: str = "/tmp/holocron_profile", num_steps: int = 5, lr: float = 1e-3):
+        """Captures a device profile of the train step (the reference only has
+        perf_counter loops, SURVEY.md §5; on TPU `jax.profiler` traces show MXU
+        utilization and HBM traffic in TensorBoard/XProf)."""
+        x, target = next(iter(self.train_loader))
+        self.model._ensure_init(jnp.asarray(x))
+        if self._train_step is None:
+            self._reset_opt(lr)
+        self._run_step(x, target)  # compile outside the trace
+        with jax.profiler.trace(logdir):
+            for _ in range(num_steps):
+                self._run_step(x, target)
+        return logdir
+
     # eval-side loss helper shared by the task trainers
     def _eval_fns(self):
         module = self.model.module
