@@ -14,10 +14,12 @@ __all__ = ["DropBlock2d"]
 class DropBlock2d(nn.Module):
     """DropBlock (`Ghiasi et al. <https://arxiv.org/pdf/1810.12890.pdf>`_).
 
-    ``p`` is the probability of dropping an activation value; the per-center rate is
-    ``p / block_size**2`` (reference's ``drop_prob`` property,
-    holocron/nn/modules/dropblock.py:33-35). Randomness comes from the ``'dropout'`` RNG
-    stream.
+    ``p`` is the probability of dropping an activation value. Faithful to the reference
+    including its double division: the module passes ``p / block_size**2`` (the
+    ``drop_prob`` property, holocron/nn/modules/dropblock.py:33-35) into the functional,
+    which divides by ``block_size**2`` again (functional.py:480-481) — so the effective
+    center-sampling rate is ``p / block_size**4``. Randomness comes from the
+    ``'dropout'`` RNG stream.
     """
 
     p: float = 0.1

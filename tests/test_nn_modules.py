@@ -115,7 +115,9 @@ def test_zpool_module(x):
 
 
 def test_dropblock_module(x):
-    module = nn.DropBlock2d(p=0.5, block_size=3)
+    # block_size=1 makes the effective rate exactly p (the reference's double division
+    # by block_size**2 — see the module docstring — is a no-op at size 1)
+    module = nn.DropBlock2d(p=0.5, block_size=1)
     variables = module.init(jax.random.key(0), x)
     # eval: identity
     out = module.apply(variables, x, train=False)
@@ -124,6 +126,7 @@ def test_dropblock_module(x):
     out = module.apply(variables, x, train=True, rngs={"dropout": jax.random.key(3)})
     assert out.shape == x.shape
     assert not np.array_equal(np.asarray(out), np.asarray(x))
+    assert (np.asarray(out) == 0).any()
 
 
 def test_norm_conv2d_module(x):
