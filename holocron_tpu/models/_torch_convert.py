@@ -184,6 +184,27 @@ def _convert_resnet(module, state_dict):
     return {"params": params, "batch_stats": stats}
 
 
+def convert_rexblock(state_dict, tp, dest, params, stats, expanded: bool, use_se: bool):
+    """Maps one torch ReXBlock's ``conv`` Sequential (rexnet.py:69-143)."""
+    off = 0
+    if expanded:
+        _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/expand/conv")
+        _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/expand/bn")
+        off += 3
+    _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/dw/conv")
+    _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/dw/bn")
+    off += 2
+    if use_se:
+        se = f"{tp}.{off}.conv"
+        _conv_at(state_dict, f"{se}.0", params, stats, f"{dest}/se/fc1/conv")
+        _bn_at(state_dict, f"{se}.1", params, stats, f"{dest}/se/fc1/bn")
+        _conv_at(state_dict, f"{se}.3", params, stats, f"{dest}/se/fc2/conv")
+        off += 1
+    off += 1  # activation
+    _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/project/conv")
+    _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/project/bn")
+
+
 @register_converter("ReXNet")
 def _convert_rexnet(module, state_dict):
     """Maps the reference ReXNet Sequential indices (rexnet.py:146-231)."""
@@ -201,25 +222,7 @@ def _convert_rexnet(module, state_dict):
 
     t = 1
     for i in range(depth):
-        tp = f"features.{3 + i}.conv"
-        dest = f"block_{i}"
-        off = 0
-        if t != 1:
-            _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/expand/conv")
-            _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/expand/bn")
-            off += 3
-        _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/dw/conv")
-        _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/dw/bn")
-        off += 2
-        if ses[i]:
-            se = f"{tp}.{off}.conv"
-            _conv_at(state_dict, f"{se}.0", params, stats, f"{dest}/se/fc1/conv")
-            _bn_at(state_dict, f"{se}.1", params, stats, f"{dest}/se/fc1/bn")
-            _conv_at(state_dict, f"{se}.3", params, stats, f"{dest}/se/fc2/conv")
-            off += 1
-        off += 1  # activation
-        _conv_at(state_dict, f"{tp}.{off}", params, stats, f"{dest}/project/conv")
-        _bn_at(state_dict, f"{tp}.{off + 1}", params, stats, f"{dest}/project/bn")
+        convert_rexblock(state_dict, f"features.{3 + i}.conv", f"block_{i}", params, stats, t != 1, ses[i])
         t = 6
 
     _conv_at(state_dict, f"features.{3 + depth}", params, stats, "penultimate/conv")
@@ -433,3 +436,45 @@ def merge_variables(base: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[str, 
         else:
             out[k] = v
     return out
+
+
+@register_converter("DynamicUNet")
+def _convert_dynamic_unet(module, state_dict):
+    """Maps the reference DynamicUNet (unet.py:282-377) for the released
+    ``unet_rexnet13`` checkpoint: an IntermediateLayerGetter over the ReXNet-1.3x
+    features ("encoder.{0,1}" stem + "encoder.{3..18}" blocks), no-norm bridge/decoder
+    conv sequences (biased convs), UBlocks with pixel-shuffle upsampling, a final
+    upsample, and a 1x1 classifier."""
+    encoder_cls = type(module.encoder).__name__
+    if encoder_cls != "ReXNetFeatures":
+        raise NotImplementedError(f"no DynamicUNet conversion for encoder {encoder_cls}")
+    from math import ceil
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    enc = module.encoder
+
+    num_blocks = [ceil(e * enc.depth_mult) for e in [1, 2, 2, 3, 3, 5]]
+    ses = [False] * (num_blocks[0] + num_blocks[1]) + [enc.use_se] * sum(num_blocks[2:])
+    _conv_at(state_dict, "encoder.0", params, stats, "encoder/stem/conv")
+    _bn_at(state_dict, "encoder.1", params, stats, "encoder/stem/bn")
+    last_block = max(enc.out_blocks)
+    for i in range(last_block + 1):
+        convert_rexblock(state_dict, f"encoder.{3 + i}.conv", f"encoder/block_{i}", params, stats, i != 0, ses[i])
+
+    # bridge: [bn, act, conv(bias), act, conv(bias), act]
+    _bn_at(state_dict, "bridge.0", params, stats, "bridge_bn")
+    _conv_at(state_dict, "bridge.2", params, stats, "bridge_0/conv")
+    _conv_at(state_dict, "bridge.4", params, stats, "bridge_1/conv")
+
+    num_decoders = len(enc.out_blocks)
+    for k in range(num_decoders):
+        _conv_at(state_dict, f"decoder.{k}.upsample.0", params, stats, f"decoder_{k}/up_conv/conv")
+        _bn_at(state_dict, f"decoder.{k}.bn", params, stats, f"decoder_{k}/bn")
+        _conv_at(state_dict, f"decoder.{k}.block.1", params, stats, f"decoder_{k}/conv_0/conv")
+        _conv_at(state_dict, f"decoder.{k}.block.3", params, stats, f"decoder_{k}/conv_1/conv")
+
+    if module.final_upsampling:
+        _conv_at(state_dict, "upsample.0", params, stats, "final_up_conv/conv")
+    _conv_at(state_dict, "classifier", params, stats, "classifier")
+    return {"params": params, "batch_stats": stats}

@@ -36,19 +36,23 @@ def main(args):
         out = fwd(variables, x)
     jax.device_get(out)
 
-    timings = []
+    # round-trip latency: per-call host sync (includes any host<->device transport)
+    t0 = time.perf_counter()
+    jax.device_get(fwd(variables, x))
+    rtt_ms = (time.perf_counter() - t0) * 1000
+
+    # device throughput: queue all iterations, executions serialize on-device, one sync
+    t0 = time.perf_counter()
     for _ in range(args.it):
-        t0 = time.perf_counter()
-        jax.device_get(fwd(variables, x))
-        timings.append((time.perf_counter() - t0) * 1000)
+        out = fwd(variables, x)
+    jax.device_get(out)
+    total = time.perf_counter() - t0
 
-    import numpy as np
-
-    timings = np.asarray(timings)
+    mean_ms = total / args.it * 1000
     backend = jax.devices()[0].platform
     print(f"{args.arch} ({backend}, {args.dtype}, batch={args.batch}, {args.size}px)")
-    print(f"mean {timings.mean():.2f}ms, std {timings.std():.2f}ms, p50 {np.median(timings):.2f}ms")
-    print(f"throughput: {args.batch * 1000 / np.median(timings):.1f} images/sec")
+    print(f"device mean {mean_ms:.2f}ms/iter, host round-trip {rtt_ms:.2f}ms")
+    print(f"throughput: {args.batch * args.it / total:.1f} images/sec")
 
 
 def parse_args():
