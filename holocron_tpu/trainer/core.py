@@ -114,19 +114,39 @@ class Trainer:
     # checkpointing
     # ------------------------------------------------------------------
     def save(self, output_file: str) -> None:
-        """Saves {epoch, step, min_loss, model variables} (reference core.py:106-124)."""
+        """Saves {epoch, step, min_loss, model variables} (reference core.py:106-124).
+
+        A path with a file suffix writes a single msgpack file; a suffix-less path is
+        treated as an orbax checkpoint directory (async-friendly, sharding-aware — the
+        TPU-native format for large models).
+        """
         state = {
             "epoch": self.epoch,
             "step": self.step,
             "min_loss": self.min_loss,
             "model": jax.tree.map(np.asarray, self.model.variables),
         }
-        Path(output_file).write_bytes(serialization.msgpack_serialize(state))
+        path = Path(output_file)
+        if path.suffix:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_bytes(serialization.msgpack_serialize(state))
+        else:
+            import orbax.checkpoint as ocp
+
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(path.resolve(), state, force=True)
 
     def load(self, state: Union[str, Dict[str, Any]]) -> None:
         """Resumes from a trainer state dict or checkpoint path (core.py:126-133)."""
         if isinstance(state, (str, Path)):
-            state = serialization.msgpack_restore(Path(state).read_bytes())
+            path = Path(state)
+            if path.is_dir():
+                import orbax.checkpoint as ocp
+
+                with ocp.StandardCheckpointer() as ckptr:
+                    state = ckptr.restore(path.resolve())
+            else:
+                state = serialization.msgpack_restore(path.read_bytes())
         self.start_epoch = int(state["epoch"])
         self.epoch = self.start_epoch
         self.step = int(state["step"])

@@ -236,3 +236,20 @@ def test_loss_criterion_object():
     trainer = make_trainer(criterion=FocalLoss(gamma=2.0))
     losses = trainer.check_setup(lr=5e-3, num_it=5)
     assert all(math.isfinite(v) for v in losses)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    trainer = make_trainer()
+    x, y = next(iter(trainer.train_loader))
+    trainer.model(jnp.asarray(x))
+    trainer.epoch, trainer.step, trainer.min_loss = 3, 12, 0.5
+    ckpt_dir = tmp_path / "orbax_ckpt"
+    trainer.save(str(ckpt_dir))
+    assert ckpt_dir.is_dir()
+
+    trainer2 = make_trainer()
+    trainer2.model(jnp.asarray(x))
+    trainer2.load(str(ckpt_dir))
+    assert trainer2.epoch == 3 and trainer2.step == 12 and trainer2.min_loss == 0.5
+    for a, b in zip(jax.tree.leaves(trainer.model.params), jax.tree.leaves(trainer2.model.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
