@@ -253,3 +253,16 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert trainer2.epoch == 3 and trainer2.step == 12 and trainer2.min_loss == 0.5
     for a, b in zip(jax.tree.leaves(trainer.model.params), jax.tree.leaves(trainer2.model.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_plot_recorder_and_top_losses(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    trainer = make_trainer(criterion=FocalLoss(gamma=2.0))
+    trainer.find_lr(num_it=4)
+    trainer.plot_recorder(block=False)
+    # streaming top-loss collection runs end to end with a criterion object
+    trainer.plot_top_losses(mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), classes=[str(i) for i in range(5)], block=False)
+    with pytest.raises(AssertionError):
+        make_trainer().plot_recorder()
