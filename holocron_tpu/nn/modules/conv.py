@@ -224,7 +224,7 @@ class Involution2d(nn.Module):
         kern = nn.Conv(int(c // self.reduction_ratio), (1, 1), kernel_init=kaiming_normal(), name="reduce")(kern_in)
         kern = nn.Conv(k**2 * g, (1, 1), kernel_init=kaiming_normal(), name="span")(kern)
         oh, ow = kern.shape[1], kern.shape[2]
-        # (N, H', W', G, 1, K^2) — channel index is (k2, g) minor-major per torch's view
+        # (N, H, W, G, 1, K^2) — torch splits the K^2*G channel dim g-major (conv.py:480)
         kern = kern.reshape(n, oh, ow, g, 1, k**2)
 
         # unfolded input, patch-major (K^2, C) -> regroup to (G, C/G, K^2)
