@@ -266,3 +266,46 @@ def test_plot_recorder_and_top_losses(tmp_path):
     trainer.plot_top_losses(mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), classes=[str(i) for i in range(5)], block=False)
     with pytest.raises(AssertionError):
         make_trainer().plot_recorder()
+
+
+def test_detection_trainer_end_to_end():
+    from holocron_tpu.models.detection import pad_targets
+    from holocron_tpu.models.detection.yolo import DetectionModel
+    from holocron_tpu.models.detection.yolov2 import YOLOv2
+    from holocron_tpu.trainer import DetectionTrainer
+    from holocron_tpu.utils.data import default_collate
+
+    rng = np.random.default_rng(0)
+
+    def det_batch(seed):
+        r = np.random.default_rng(seed)
+        x = r.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        targets = []
+        for _ in range(2):
+            n = int(r.integers(1, 3))
+            boxes = np.sort(r.random((n, 2, 2)), axis=1).transpose(0, 2, 1).reshape(n, 4).astype(np.float32)
+            boxes = boxes[:, [0, 2, 1, 3]]
+            targets.append({"boxes": boxes, "labels": r.integers(0, 3, size=(n,))})
+        return x, targets
+
+    class Loader:
+        def __init__(self, padded):
+            self.padded = padded
+
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            for s in range(2):
+                x, t = det_batch(s)
+                yield (x, pad_targets(t, 6)) if self.padded else (x, t)
+
+    tiny_layout = [(8, 0), (16, 0), (16, 0), (32, 0), (32, 0)]
+    model = DetectionModel(YOLOv2(tiny_layout, num_classes=3), max_boxes=6)
+    trainer = DetectionTrainer(
+        model, Loader(padded=True), Loader(padded=False), None, lambda lr: optim.tadam(lr=lr)
+    )
+    losses = trainer.check_setup(lr=1e-3, num_it=5)
+    assert all(math.isfinite(v) for v in losses)
+    metrics = trainer.evaluate()
+    assert set(metrics) == {"loc_err", "clf_err", "det_err", "val_loss"}
