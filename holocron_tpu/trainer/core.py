@@ -67,6 +67,7 @@ class Trainer:
         gradient_acc: int = 1,
         gradient_clip: Optional[float] = None,
         on_epoch_end: Optional[Callable[[Dict[str, float]], Any]] = None,
+        remat: bool = False,
     ) -> None:
         self.model = model
         self.train_loader = train_loader
@@ -79,6 +80,7 @@ class Trainer:
         self.nan_tolerance = nan_tolerance
         self.gradient_acc = gradient_acc
         self.grad_clip = gradient_clip
+        self.remat = remat
         self.output_file = output_file
 
         self.step = 0
@@ -217,6 +219,7 @@ class Trainer:
         criterion = self.criterion
         tx = self._tx
         amp = self.amp
+        remat = self.remat
         net_state = self.model.state or {}
         mutable = list(net_state.keys())
         # frozen layers keep their BN statistics too (the reference's freeze_bn)
@@ -229,13 +232,16 @@ class Trainer:
                 p_c = jax.tree.map(lambda t: t.astype(jnp.bfloat16), p) if amp else p
                 x_c = x.astype(jnp.bfloat16) if amp else x
                 variables = {"params": p_c, **net_state}
-                if mutable:
-                    out, updates = module.apply(
-                        variables, x_c, train=True, mutable=mutable, rngs={"dropout": rng}
-                    )
-                else:
-                    out = module.apply(variables, x_c, train=True, rngs={"dropout": rng})
-                    updates = {}
+                def forward(variables, inp, r):
+                    if mutable:
+                        return module.apply(variables, inp, train=True, mutable=mutable, rngs={"dropout": r})
+                    return module.apply(variables, inp, train=True, rngs={"dropout": r}), {}
+
+                if remat:
+                    # rematerialize activations in the backward pass: trades FLOPs for
+                    # HBM so larger batches fit (jax.checkpoint over the whole forward)
+                    forward = jax.checkpoint(forward)
+                out, updates = forward(variables, x_c, rng)
                 out = jax.tree.map(lambda o: o.astype(jnp.float32), out)
                 return criterion(out, target), updates
 

@@ -309,3 +309,9 @@ def test_detection_trainer_end_to_end():
     assert all(math.isfinite(v) for v in losses)
     metrics = trainer.evaluate()
     assert set(metrics) == {"loc_err", "clf_err", "det_err", "val_loss"}
+
+
+def test_remat_training():
+    trainer = make_trainer(remat=True)
+    losses = trainer.check_setup(lr=5e-3, num_it=8)
+    assert losses[-1] < losses[0]
