@@ -70,25 +70,38 @@ def masked_nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array, iou_thresh
     return keep
 
 
-@partial(jax.jit, static_argnames=("rpn_nms_thresh", "box_score_thresh"))
+@partial(jax.jit, static_argnames=("rpn_nms_thresh", "box_score_thresh", "pre_nms_topk"))
 def post_process(
     boxes: jax.Array,
     b_o: jax.Array,
     b_scores: jax.Array,
     rpn_nms_thresh: float = 0.7,
     box_score_thresh: float = 0.05,
+    pre_nms_topk: int = 1024,
 ) -> Dict[str, jax.Array]:
-    """Objectness filter -> score threshold -> NMS, on probability-space inputs.
+    """Objectness filter -> score threshold -> top-k -> NMS, on probability-space inputs.
 
     Mirrors the reference post-processing (yolo.py:159-215 / yolov4.py:303-337) with
     fixed-size outputs: ``boxes (B, K, 4)``, ``scores``, ``labels``, ``keep`` mask.
+    ``pre_nms_topk`` caps the NMS candidate set — the greedy pass needs an O(K^2) IoU
+    matrix, which at 608px inputs (~21k raw candidates) would otherwise blow HBM.
     """
     boxes = jnp.clip(boxes, 0.0, 1.0)
     scores = jnp.max(b_scores, axis=-1) * b_o
     labels = jnp.argmax(b_scores, axis=-1)
     valid = (b_o >= 0.5) & (scores >= box_score_thresh)
-    keep = jax.vmap(lambda bx, sc, va: masked_nms(bx, sc, va, rpn_nms_thresh))(boxes, scores, valid)
-    return {"boxes": boxes, "scores": scores, "labels": labels, "keep": keep}
+
+    k = min(pre_nms_topk, boxes.shape[1])
+    ranked = jnp.where(valid, scores, -jnp.inf)
+    _, top_idx = jax.lax.top_k(ranked, k)  # (B, k)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_scores = jnp.take_along_axis(scores, top_idx, axis=1)
+    top_labels = jnp.take_along_axis(labels, top_idx, axis=1)
+    top_valid = jnp.take_along_axis(valid, top_idx, axis=1)
+    keep = jax.vmap(lambda bx, sc, va: masked_nms(bx, sc, va, rpn_nms_thresh))(
+        top_boxes, top_scores, top_valid
+    )
+    return {"boxes": top_boxes, "scores": top_scores, "labels": top_labels, "keep": keep}
 
 
 def detections_to_list(padded: Dict[str, jax.Array]) -> List[Dict[str, np.ndarray]]:
