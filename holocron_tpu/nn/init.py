@@ -12,7 +12,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["kaiming_normal", "zeros", "ones"]
+__all__ = ["init_module", "kaiming_normal", "zeros", "ones"]
 
 
 def _gain(nonlinearity: str, param: float = 0.01) -> float:
@@ -49,3 +49,28 @@ def kaiming_normal(nonlinearity: str = "relu", neg_slope: float = 0.01):
 
 zeros = jax.nn.initializers.zeros
 ones = jax.nn.initializers.ones
+
+
+def init_module(variables, nonlinearity: str = "relu", key=None):
+    """Re-initializes a variables tree the reference way (holocron/nn/init.py:10-24):
+    kaiming-normal fan-out for conv/dense kernels, ones/zeros for norm scale/bias.
+
+    Functional analog of the torch in-place tree walk — returns a new variables pytree.
+    """
+    key = key if key is not None else jax.random.key(0)
+    initializer = kaiming_normal(nonlinearity)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
+    keys = jax.random.split(key, max(len(flat), 1))
+    new_leaves = []
+    for (path, leaf), k in zip(flat, keys):
+        names = [str(getattr(p, "key", p)) for p in path]
+        last = names[-1] if names else ""
+        if last == "kernel" and hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            new_leaves.append(initializer(k, leaf.shape, leaf.dtype))
+        elif last == "scale":
+            new_leaves.append(jnp.ones_like(leaf))
+        elif last == "bias":
+            new_leaves.append(jnp.zeros_like(leaf))
+        else:
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

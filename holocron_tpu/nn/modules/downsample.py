@@ -16,6 +16,7 @@ __all__ = [
     "SPP",
     "BlurPool2d",
     "ConcatDownsample2d",
+    "ConcatDownsample2dJit",
     "GlobalAvgPool2d",
     "GlobalMaxPool2d",
     "ZPool",
@@ -140,3 +141,9 @@ class ZPool(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         return F.z_pool(x, self.axis)
+
+
+# API-parity alias: the reference ships a torchscripted variant
+# (holocron/nn/modules/downsample.py:44-55); under jit everything is compiled, so the
+# plain module IS the "jit" version.
+ConcatDownsample2dJit = ConcatDownsample2d

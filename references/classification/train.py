@@ -71,6 +71,16 @@ def build_datasets(args):
 def main(args):
     print(args)
 
+    if args.codecarbon:
+        try:
+            from codecarbon import EmissionsTracker
+
+            tracker = EmissionsTracker()
+            tracker.start()
+        except ImportError:
+            print("codecarbon is not installed, skipping emission tracking")
+            args.codecarbon = False
+
     from holocron_tpu.models import classification
     from holocron_tpu.nn.functional import cross_entropy, multilabel_cross_entropy
     from holocron_tpu.trainer import ClassificationTrainer
@@ -118,6 +128,11 @@ def main(args):
         print(f"Resuming {args.resume}")
         trainer.load(args.resume)
 
+    if args.find_size:
+        from holocron_tpu.utils import find_image_size
+
+        find_image_size(train_set)
+        return
     if args.find_lr:
         trainer.find_lr(args.freeze_until, num_it=min(len(train_loader), 100), norm_weight_decay=args.norm_wd)
         for lr, loss in zip(trainer.lr_recorder, trainer.loss_recorder):
@@ -145,6 +160,8 @@ def main(args):
     print(f"Training time {datetime.timedelta(seconds=int(time.time() - start_time))}")
     if args.wb:
         run.finish()
+    if args.codecarbon:
+        tracker.stop()
 
 
 def parse_args():
@@ -187,11 +204,13 @@ def parse_args():
 
     group = parser.add_argument_group("Actions")
     group.add_argument("--find-lr", action="store_true")
+    group.add_argument("--find-size", dest="find_size", action="store_true", help="run the image size finder")
     group.add_argument("--check-setup", action="store_true")
     group.add_argument("--test-only", action="store_true")
 
     group = parser.add_argument_group("Experiment tracking")
     group.add_argument("--wb", action="store_true", help="log to Weights & Biases")
+    group.add_argument("--codecarbon", action="store_true", help="track emissions with codecarbon")
     group.add_argument("--name", type=str, default=None)
     return parser.parse_args()
 
