@@ -315,3 +315,31 @@ def test_remat_training():
     trainer = make_trainer(remat=True)
     losses = trainer.check_setup(lr=5e-3, num_it=8)
     assert losses[-1] < losses[0]
+
+
+def test_training_learns_separable_data():
+    """End-to-end learning check: constant-color classes + noise must be fit to
+    near-perfect validation accuracy within a few epochs."""
+    rng = np.random.default_rng(0)
+    palette = rng.normal(size=(4, 1, 1, 3)).astype(np.float32) * 2
+
+    def make_batches(n, seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            y = r.integers(0, 4, size=16)
+            x = palette[y] + 0.3 * r.normal(size=(16, 16, 16, 3)).astype(np.float32)
+            out.append((x.astype(np.float32), y.astype(np.int32)))
+        return out
+
+    class Loader(list):
+        pass
+
+    model = Model(RepVGG([1], [8], 1.0, 1.0, num_classes=4))
+    trainer = ClassificationTrainer(
+        model, Loader(make_batches(8, 0)), Loader(make_batches(2, 1)), cross_entropy,
+        lambda lr: optim.adamp(lr=lr),
+    )
+    trainer.fit_n_epochs(3, lr=5e-3, sched_type="constant")
+    metrics = trainer.evaluate()
+    assert metrics["acc1"] > 0.9, metrics
