@@ -156,3 +156,39 @@ def test_masked_nms():
     # invalid candidates never kept and never suppress
     keep = masked_nms(boxes, scores, jnp.asarray([False, True, True]), iou_threshold=0.5)
     np.testing.assert_array_equal(np.asarray(keep), [False, True, True])
+
+
+def test_detection_overfits_single_box():
+    """End-to-end detection learning: overfit one bright-object image; the detector
+    must produce a single correct-label detection overlapping the GT box."""
+    from holocron_tpu import optim
+    from holocron_tpu.models.detection.yolo import DetectionModel
+    from holocron_tpu.models.detection.yolov2 import YOLOv2
+    from holocron_tpu.ops import box_iou
+    from holocron_tpu.trainer import DetectionTrainer
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    x[:, 16:40, 8:32] += 3.0
+    gt = {"boxes": np.asarray([[8 / 64, 16 / 64, 32 / 64, 40 / 64]], np.float32), "labels": np.asarray([1])}
+
+    tiny_layout = [(8, 0), (16, 0), (16, 0), (32, 0), (32, 1)]
+    model = DetectionModel(YOLOv2(tiny_layout, num_classes=3), max_boxes=4)
+
+    class Loader(list):
+        pass
+
+    train = Loader([(x, pad_targets([gt], 4))])
+    trainer = DetectionTrainer(model, train, Loader([(x, [gt])]), None, lambda lr: optim.adamp(lr=lr))
+    model._ensure_init(jnp.asarray(x))
+    trainer._reset_opt(2e-3)
+    first = trainer._run_step(*train[0])
+    for _ in range(119):
+        last = trainer._run_step(*train[0])
+    assert last < first / 10
+
+    dets = model(jnp.asarray(x))[0]
+    assert dets["boxes"].shape[0] >= 1
+    assert int(dets["labels"][0]) == 1
+    iou = float(box_iou(jnp.asarray(gt["boxes"]), jnp.asarray(dets["boxes"][:1]))[0, 0])
+    assert iou > 0.3, iou
