@@ -10,7 +10,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 
-__all__ = ["freeze_model", "norm_param_mask", "split_normalization_params", "trainable_mask"]
+__all__ = ["freeze_bn", "freeze_model", "norm_param_mask", "split_normalization_params", "trainable_mask"]
 
 
 def _path_str(path) -> str:
@@ -54,6 +54,34 @@ def freeze_model(params: Dict[str, Any], last_frozen_layer: Optional[str] = None
 def trainable_mask(params: Dict[str, Any], last_frozen_layer: Optional[str] = None) -> Dict[str, Any]:
     """Alias of :func:`freeze_model` with a clearer name for the optax use."""
     return freeze_model(params, last_frozen_layer)
+
+
+def freeze_bn(params_mask: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dict[str, Any]:
+    """Builds a batch-stats update mask freezing the running statistics of every norm
+    layer whose parameters are themselves frozen.
+
+    Functional analog of the reference's ``freeze_bn`` (holocron/trainer/utils.py:14-31),
+    which switches frozen-affine BatchNorm modules to eval so their running stats stop
+    tracking. Here "frozen" is read off ``params_mask`` (the trainability mask from
+    :func:`freeze_model`): a stat leaf is updated (True) only if at least one sibling
+    parameter of the same module is trainable.
+    """
+
+    def module_trainable(mask_sub) -> bool:
+        return any(jax.tree.leaves(mask_sub)) if mask_sub is not None else True
+
+    def walk(stats, mask):
+        if not isinstance(stats, dict):
+            return module_trainable(mask)
+        out = {}
+        for k, v in stats.items():
+            # stat leaves (mean/var) don't exist under params: decide from the module's
+            # sibling parameters (scale/bias) — i.e. the enclosing mask subtree
+            sub = mask.get(k, mask) if isinstance(mask, dict) else mask
+            out[k] = walk(v, sub)
+        return out
+
+    return walk(batch_stats, params_mask)
 
 
 def norm_param_mask(params: Dict[str, Any]) -> Dict[str, Any]:

@@ -211,6 +211,22 @@ def test_freeze_model_mask():
         freeze_model(params, "zzz")
 
 
+def test_freeze_bn_mask():
+    from holocron_tpu.trainer import freeze_bn
+
+    params = {
+        "block1": {"conv": {"kernel": 1}, "bn": {"scale": 1, "bias": 1}},
+        "block2": {"bn": {"scale": 1, "bias": 1}},
+    }
+    stats = {"block1": {"bn": {"mean": 0, "var": 1}}, "block2": {"bn": {"mean": 0, "var": 1}}}
+    mask = freeze_model(params, "block1")  # block1 frozen, block2 trainable
+    stats_mask = freeze_bn(mask, stats)
+    assert stats_mask == {
+        "block1": {"bn": {"mean": False, "var": False}},
+        "block2": {"bn": {"mean": True, "var": True}},
+    }
+
+
 def test_norm_param_mask():
     params = {
         "conv": {"kernel": np.ones(1), "bias": np.ones(1)},
