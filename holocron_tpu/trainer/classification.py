@@ -23,23 +23,23 @@ class ClassificationTrainer(Trainer):
     def evaluate(self) -> Dict[str, float]:
         """Top-1/top-5 accuracy + NaN-safe validation loss (classification.py:43-72)."""
         _, loss_and_logits = self._eval_fns()
-        variables = self.model.variables
         val_loss, top1, top5, num_samples, num_valid_batches = 0.0, 0, 0, 0, 0
         for x, target in self.val_loader:
             x, target = self.to_device(x, target)
-            loss, out = loss_and_logits(variables, x, target)
+            self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
+            loss, out = loss_and_logits(self.model.variables, x, target)
             loss = float(loss)
             if math.isfinite(loss):
                 val_loss += loss
                 num_valid_batches += 1
             out = np.asarray(out)
             target_np = np.asarray(target)
+            # top-5 clamps to the class count (torch's topk would error on <5 classes)
             k = min(5, out.shape[1])
-            pred = np.argsort(out, axis=1)[:, ::-1][:, :k] if out.shape[1] >= 5 else out.argmax(1, keepdims=True)
+            pred = np.argsort(out, axis=1)[:, ::-1][:, :k]
             correct = pred == target_np.reshape(-1, 1)
             top1 += int(correct[:, 0].sum())
-            if out.shape[1] >= 5:
-                top5 += int(correct.any(axis=1).sum())
+            top5 += int(correct.any(axis=1).sum())
             num_samples += x.shape[0]
         val_loss /= max(num_valid_batches, 1)
         return {"val_loss": val_loss, "acc1": top1 / num_samples, "acc5": top5 / num_samples}
@@ -64,7 +64,6 @@ class ClassificationTrainer(Trainer):
         if not self.is_binary and classes is None:
             raise AssertionError("arg 'classes' must be specified for multi-class classification")
         forward, _ = self._eval_fns()
-        variables = self.model.variables
 
         losses = np.zeros(num_samples, dtype=np.float32)
         preds = np.zeros(num_samples, dtype=int)
@@ -74,7 +73,8 @@ class ClassificationTrainer(Trainer):
 
         for x, target in self.train_loader:
             x_dev, target_dev = self.to_device(x, target)
-            logits = forward(variables, x_dev)
+            self.model._ensure_init(x_dev)
+            logits = forward(self.model.variables, x_dev)
             # per-sample (unreduced) criterion
             crit_red = getattr(self.criterion, "reduction", None)
             if crit_red is not None:
@@ -142,11 +142,11 @@ class BinaryClassificationTrainer(ClassificationTrainer):
 
     def evaluate(self) -> Dict[str, float]:
         forward, _ = self._eval_fns()
-        variables = self.model.variables
         val_loss, top1, num_samples, num_valid_batches = 0.0, 0.0, 0, 0
         for x, target in self.val_loader:
             x, target = self.to_device(x, target)
-            out = forward(variables, x)
+            self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
+            out = forward(self.model.variables, x)
             target_f = jnp.reshape(jnp.asarray(target).astype(out.dtype), out.shape)
             loss = float(self.criterion(out, target_f))
             if math.isfinite(loss):

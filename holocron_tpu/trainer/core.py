@@ -270,8 +270,12 @@ class Trainer:
 
     def _fit_epoch(self) -> None:
         """One pass over the training set (reference core.py:135-165)."""
+        from ..utils.data import prefetch
+
         nan_cnt = 0
-        for x, target in self.train_loader:
+        # 2-batch device-placement lookahead: device_put is async, so upcoming H2D
+        # transfers ride alongside the current step's compute
+        for x, target in prefetch(self.train_loader, lambda batch: self.to_device(*batch), size=2):
             batch_loss = self._run_step(x, target)
             if self.skip_nan_loss and not math.isfinite(batch_loss):
                 nan_cnt += 1

@@ -28,7 +28,6 @@ class SegmentationTrainer(Trainer):
 
     def evaluate(self, ignore_index: int = 255) -> Dict[str, float]:
         _, loss_and_logits = self._eval_fns()
-        variables = self.model.variables
         nc = self.num_classes
 
         @jax.jit
@@ -43,7 +42,8 @@ class SegmentationTrainer(Trainer):
         conf_mat = np.zeros((nc, nc), dtype=np.int64)
         for x, target in self.val_loader:
             x, target = self.to_device(x, target)
-            loss, out = loss_and_logits(variables, x, target)
+            self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
+            loss, out = loss_and_logits(self.model.variables, x, target)
             loss = float(loss)
             if math.isfinite(loss):
                 val_loss += loss

@@ -1,2 +1,2 @@
 from .collate import Mixup
-from .loader import DataLoader, ImageFolder, SyntheticDataset, default_collate, normalize_image
+from .loader import DataLoader, ImageFolder, SyntheticDataset, default_collate, normalize_image, prefetch

@@ -7,13 +7,37 @@ while the device computes, yielding contiguous NHWC numpy batches ready for
 """
 
 import concurrent.futures as cf
+import itertools
 import random
+from collections import deque
 from pathlib import Path
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["DataLoader", "ImageFolder", "SyntheticDataset", "default_collate", "normalize_image"]
+__all__ = ["DataLoader", "ImageFolder", "SyntheticDataset", "default_collate", "normalize_image", "prefetch"]
+
+
+def prefetch(iterable, fn: Optional[Callable] = None, size: int = 2):
+    """Yields items of ``iterable`` with a ``size``-item lookahead, applying ``fn``
+    eagerly ahead of consumption.
+
+    With ``fn`` = device placement (``jax.device_put`` is asynchronous), upcoming
+    batches' H2D transfers overlap the consumer's compute on the current batch — the
+    sharding-aware analog of ``flax.jax_utils.prefetch_to_device``.
+    """
+    it = iter(iterable)
+    queue: deque = deque()
+
+    def enqueue(n: int) -> None:
+        for item in itertools.islice(it, n):
+            queue.append(fn(item) if fn is not None else item)
+
+    enqueue(max(size, 1))
+    while queue:
+        out = queue.popleft()
+        enqueue(1)
+        yield out
 
 IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
@@ -129,10 +153,20 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
         if self.num_workers > 1:
+            # per-sample thread parallelism within a batch + a 2-batch lookahead window
+            # so host IO for batch n+1 overlaps the consumer's compute on batch n
+            lookahead = 2
             with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_ids in batches:
-                    samples = list(pool.map(self.dataset.__getitem__, batch_ids))
-                    yield self.collate_fn(samples)
+                window: deque = deque()
+                for batch_ids in batches[:lookahead]:
+                    window.append([pool.submit(self.dataset.__getitem__, i) for i in batch_ids])
+                nxt = lookahead
+                while window:
+                    futures = window.popleft()
+                    if nxt < len(batches):
+                        window.append([pool.submit(self.dataset.__getitem__, i) for i in batches[nxt]])
+                        nxt += 1
+                    yield self.collate_fn([f.result() for f in futures])
         else:
             for batch_ids in batches:
                 yield self.collate_fn([self.dataset[i] for i in batch_ids])

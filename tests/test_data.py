@@ -1,0 +1,63 @@
+"""Host input-pipeline tests: DataLoader batching/ordering and prefetch semantics.
+
+Reference analog: torch DataLoader behavior relied on by
+references/classification/train.py:137-146.
+"""
+
+import numpy as np
+
+from holocron_tpu.utils.data import DataLoader, prefetch
+
+
+class _DS:
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((2, 2, 3), i, np.float32), i
+
+
+def _labels(batches):
+    return [tuple(int(v) for v in y) for _, y in batches]
+
+
+def test_dataloader_threaded_preserves_order():
+    dl = DataLoader(_DS(), batch_size=3, num_workers=4)
+    assert len(dl) == 4
+    assert _labels(list(dl)) == [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9,)]
+
+
+def test_dataloader_single_worker_matches_threaded():
+    a = _labels(list(DataLoader(_DS(), batch_size=4, num_workers=1)))
+    b = _labels(list(DataLoader(_DS(), batch_size=4, num_workers=4)))
+    assert a == b
+
+
+def test_dataloader_drop_last():
+    dl = DataLoader(_DS(), batch_size=3, num_workers=2, drop_last=True)
+    assert len(dl) == 3
+    assert all(len(y) == 3 for y in _labels(list(dl)))
+
+
+def test_dataloader_shuffle_is_seeded_and_reshuffles():
+    dl = DataLoader(_DS(), batch_size=10, shuffle=True, num_workers=1, seed=0)
+    first = _labels(list(dl))[0]
+    second = _labels(list(dl))[0]
+    assert sorted(first) == list(range(10))
+    assert first != second  # epoch-to-epoch reshuffle
+    again = _labels(list(DataLoader(_DS(), batch_size=10, shuffle=True, num_workers=1, seed=0)))[0]
+    assert again == first  # same seed -> same order
+
+
+def test_prefetch_semantics():
+    assert list(prefetch([1, 2, 3], lambda v: v * 10)) == [10, 20, 30]
+    assert list(prefetch([], size=4)) == []
+    assert list(prefetch([7], size=4)) == [7]
+    calls = []
+    gen = prefetch(range(6), lambda v: calls.append(v) or v, size=2)
+    assert next(gen) == 0
+    assert calls == [0, 1, 2]  # stays 2 items ahead of consumption
+    assert list(gen) == [1, 2, 3, 4, 5]

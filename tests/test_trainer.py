@@ -211,6 +211,18 @@ def test_freeze_model_mask():
         freeze_model(params, "zzz")
 
 
+def test_evaluate_before_fit_initializes_lazily():
+    """--test-only path: evaluate() on a never-fitted trainer must lazy-init the model;
+    top-5 accuracy clamps to the class count (4 classes -> always 100%)."""
+    trainer = make_trainer(
+        model=tiny_model(num_classes=4),
+        val_loader=MockLoader(num_batches=2, num_classes=4, seed=1),
+    )
+    metrics = trainer.evaluate()
+    assert math.isfinite(metrics["val_loss"])
+    assert metrics["acc5"] == 1.0
+
+
 def test_freeze_bn_mask():
     from holocron_tpu.trainer import freeze_bn
 
