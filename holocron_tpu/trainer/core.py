@@ -16,6 +16,7 @@ Reference: holocron/trainer/core.py. The single-GPU stateful loop becomes:
 """
 
 import math
+from collections import deque
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
@@ -259,33 +260,52 @@ class Trainer:
     # ------------------------------------------------------------------
     # training loops
     # ------------------------------------------------------------------
-    def _run_step(self, x, target) -> float:
+    def _run_step_async(self, x, target):
+        """Dispatches one train step, returning the on-device loss (no host sync)."""
         x, target = self.to_device(x, target)
         self._rng, step_rng = jax.random.split(self._rng)
         params, net_state, self._opt_state, loss = self._train_step(
             self.model.params, self.model.state or {}, self._opt_state, x, target, step_rng
         )
         self.model.variables = {"params": params, **net_state}
-        return float(loss)
+        return loss
+
+    def _run_step(self, x, target) -> float:
+        return float(self._run_step_async(x, target))
 
     def _fit_epoch(self) -> None:
-        """One pass over the training set (reference core.py:135-165)."""
+        """One pass over the training set (reference core.py:135-165).
+
+        Loss readback is lagged by a few steps: dispatch stays pipelined (reading a
+        scalar every step would stall the device for a host round-trip, ~26 ms on the
+        tunnel — measured 1.7x slower end-to-end). NaN *updates* are already rejected
+        on-device by ``optax.apply_if_finite``; the host-side tolerance check below
+        just fires a few steps late.
+        """
         from ..utils.data import prefetch
 
         nan_cnt = 0
-        # 2-batch device-placement lookahead: device_put is async, so upcoming H2D
-        # transfers ride alongside the current step's compute
-        for x, target in prefetch(self.train_loader, lambda batch: self.to_device(*batch), size=2):
-            batch_loss = self._run_step(x, target)
+        readback_lag = 4
+
+        def check(batch_loss: float) -> int:
             if self.skip_nan_loss and not math.isfinite(batch_loss):
-                nan_cnt += 1
-                if nan_cnt > self.nan_tolerance:
+                if nan_cnt + 1 > self.nan_tolerance:
                     raise ValueError(
                         f"loss value has been NaN or inf for more than {self.nan_tolerance} steps."
                     )
-            else:
-                nan_cnt = 0
+                return nan_cnt + 1
+            return 0
+
+        pending: deque = deque()
+        # 2-batch device-placement lookahead: device_put is async, so upcoming H2D
+        # transfers ride alongside the current step's compute
+        for x, target in prefetch(self.train_loader, lambda batch: self.to_device(*batch), size=2):
+            pending.append(self._run_step_async(x, target))
+            if len(pending) > readback_lag:
+                nan_cnt = check(float(pending.popleft()))
             self.step += 1
+        while pending:
+            nan_cnt = check(float(pending.popleft()))
         self.epoch += 1
 
     def evaluate(self) -> Dict[str, float]:
