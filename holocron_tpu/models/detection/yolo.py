@@ -47,6 +47,13 @@ def yolo_v12_losses(
     Per GT box: the anchor in the center cell with highest IoU is responsible
     (objectness target = that IoU; coords/class regressed there); everything else pays
     the no-objectness penalty.
+
+    Intentional divergence: the reference's wh term (yolo.py:115-119) uses the full
+    ``gt_wh`` matrix instead of ``gt_wh[_idx]`` — a broadcast bug that cross-sums every
+    GT's size against each assigned anchor whenever an image has >1 GT box. We pair
+    each GT with its own responsible anchor (the paper's Eq. 3). A/B on identical
+    predictions: obj/noobj/clf match the reference ≤2e-7; bbox matches exactly for
+    single-GT images and diverges only through this bug for multi-GT ones.
     """
     b, h, w, num_anchors = pred_o.shape
 
