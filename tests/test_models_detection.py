@@ -158,6 +158,42 @@ def test_masked_nms():
     np.testing.assert_array_equal(np.asarray(keep), [False, True, True])
 
 
+def test_masked_nms_matches_greedy_oracle():
+    """Property test: masked_nms must agree with a plain numpy greedy NMS (the
+    torchvision semantics the reference relies on, yolo.py:159-215) on random inputs."""
+    from holocron_tpu.models.detection import masked_nms
+
+    def oracle(boxes, scores, valid, thr):
+        order = np.argsort(-scores, kind="stable")
+        keep = np.zeros(len(scores), bool)
+        for i in order:
+            if not valid[i]:
+                continue
+            x1 = np.maximum(boxes[i, 0], boxes[keep, 0])
+            y1 = np.maximum(boxes[i, 1], boxes[keep, 1])
+            x2 = np.minimum(boxes[i, 2], boxes[keep, 2])
+            y2 = np.minimum(boxes[i, 3], boxes[keep, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            areas = (boxes[keep, 2] - boxes[keep, 0]) * (boxes[keep, 3] - boxes[keep, 1])
+            iou = inter / np.maximum(area_i + areas - inter, 1e-12)
+            if not np.any(iou > thr):
+                keep[i] = True
+        return keep
+
+    rng = np.random.default_rng(0)
+    for case in range(25):
+        n = int(rng.integers(1, 40))
+        boxes = rng.random((n, 4), np.float32)
+        boxes[:, 2:] = boxes[:, :2] + rng.random((n, 2)).astype(np.float32) * 0.4 + 0.01
+        scores = rng.random(n).astype(np.float32)
+        valid = rng.random(n) > 0.2
+        thr = float(rng.choice([0.3, 0.5, 0.7]))
+        got = np.asarray(masked_nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), iou_threshold=thr))
+        want = oracle(boxes, scores, valid, thr)
+        np.testing.assert_array_equal(got, want, err_msg=f"case {case} (n={n}, thr={thr})")
+
+
 def test_detection_overfits_single_box():
     """End-to-end detection learning: overfit one bright-object image; the detector
     must produce a single correct-label detection overlapping the GT box."""
