@@ -73,6 +73,19 @@ def test_detection_cli_fake(monkeypatch, tmp_path):
     assert (tmp_path / "ckpt.mpk").exists()
 
 
+def test_classification_cli_resume(monkeypatch, tmp_path):
+    """--resume restores trainer state saved by a previous run (epoch counter advances)."""
+    ckpt = tmp_path / "ckpt.mpk"
+    base = [
+        "fake", "--arch", "darknet19", "--epochs", "1", "-b", "8", "--fake-samples", "16",
+        "--train-crop-size", "32", "--val-resize-size", "40", "--val-crop-size", "32",
+        "--num-classes", "4", "--mixup-alpha", "0", "-j", "2", "--output-file", str(ckpt),
+    ]
+    _run(monkeypatch, ROOT / "references" / "classification" / "train.py", base)
+    assert ckpt.exists()
+    _run(monkeypatch, ROOT / "references" / "classification" / "train.py", [*base, "--resume", str(ckpt)])
+
+
 def test_classification_cli_rejects_unknown_arch(monkeypatch):
     with pytest.raises(KeyError):
         _run(
