@@ -194,6 +194,55 @@ def test_masked_nms_matches_greedy_oracle():
         np.testing.assert_array_equal(got, want, err_msg=f"case {case} (n={n}, thr={thr})")
 
 
+def test_post_process_matches_numpy_oracle():
+    """Property test: the fixed-shape post_process pipeline must produce the same
+    detection set as a plain numpy implementation of the reference semantics
+    (sigmoid-space objectness >= 0.5 -> score thresh -> greedy NMS, yolov4.py:303-337)."""
+
+    def oracle(boxes, b_o, b_scores, nms_thr, score_thr):
+        boxes = np.clip(boxes, 0, 1)
+        scores = b_scores.max(-1) * b_o
+        labels = b_scores.argmax(-1)
+        valid = (b_o >= 0.5) & (scores >= score_thr)
+        order = np.argsort(-scores, kind="stable")
+        kept = []
+        for i in order:
+            if not valid[i]:
+                continue
+            ok = True
+            for j in kept:
+                x1, y1 = np.maximum(boxes[i, :2], boxes[j, :2])
+                x2, y2 = np.minimum(boxes[i, 2:], boxes[j, 2:])
+                inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+                ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                aj = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                if inter / max(ai + aj - inter, 1e-12) > nms_thr:
+                    ok = False
+                    break
+            if ok:
+                kept.append(i)
+        return {(round(float(boxes[i, 0]), 5), round(float(scores[i]), 5), int(labels[i])) for i in kept}
+
+    rng = np.random.default_rng(1)
+    for case in range(10):
+        n = int(rng.integers(5, 60))
+        boxes = rng.random((1, n, 4), np.float32)
+        boxes[..., 2:] = boxes[..., :2] + rng.random((1, n, 2)).astype(np.float32) * 0.3 + 0.01
+        b_o = rng.random((1, n)).astype(np.float32)
+        b_scores = rng.dirichlet(np.ones(6), (1, n)).astype(np.float32)
+        dets = post_process(jnp.asarray(boxes), jnp.asarray(b_o), jnp.asarray(b_scores),
+                            rpn_nms_thresh=0.5, box_score_thresh=0.05)
+        keep = np.asarray(dets["keep"][0])
+        got = {
+            (round(float(np.asarray(dets["boxes"][0])[i, 0]), 5),
+             round(float(np.asarray(dets["scores"][0])[i]), 5),
+             int(np.asarray(dets["labels"][0])[i]))
+            for i in np.nonzero(keep)[0]
+        }
+        want = oracle(boxes[0], b_o[0], b_scores[0], 0.5, 0.05)
+        assert got == want, f"case {case}: got {len(got)} dets, want {len(want)}"
+
+
 def test_detection_overfits_single_box():
     """End-to-end detection learning: overfit one bright-object image; the detector
     must produce a single correct-label detection overlapping the GT box."""
