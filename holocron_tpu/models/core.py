@@ -43,6 +43,8 @@ class Model:
         self._seed = seed
         self._eval_fn: Optional[Callable] = None
         self._train_fns: Dict[Any, Callable] = {}
+        self._input_shape = None
+        self._forward_order = None
 
     # ------------------------------------------------------------------
     # initialization
@@ -50,6 +52,7 @@ class Model:
     def init(self, input_shape, key: Optional[jax.Array] = None, dtype=jnp.float32) -> "Model":
         """Initializes variables for the given ``(N, H, W, C)`` input shape."""
         key = key if key is not None else jax.random.key(self._seed)
+        self._input_shape = tuple(input_shape)
         dummy = jnp.zeros(input_shape, dtype)
         # jitting init fuses the whole initialization into one compiled program —
         # much faster than eager op-by-op dispatch, especially on CPU
@@ -57,8 +60,27 @@ class Model:
         return self
 
     def _ensure_init(self, x: jax.Array) -> None:
+        if self._input_shape is None:
+            self._input_shape = tuple(jnp.shape(x))
         if self.variables is None:
             self.init(x.shape, dtype=x.dtype)
+
+    def forward_order(self, input_shape=None):
+        """Submodule paths in forward-call order (cached; traced via eval_shape).
+
+        Feeds :func:`~holocron_tpu.trainer.utils.freeze_model` so ``freeze_until``
+        follows true forward order, not the name-sorted flax tree order.
+        """
+        if self._forward_order is None:
+            shape = input_shape or self._input_shape
+            if shape is None:
+                raise RuntimeError("unknown input shape — run a forward pass or pass input_shape")
+            if self.variables is None:
+                self.init(shape)
+            from ..trainer.utils import module_forward_order
+
+            self._forward_order = module_forward_order(self.module, self.variables, shape)
+        return self._forward_order
 
     # ------------------------------------------------------------------
     # forward
@@ -129,6 +151,7 @@ class Model:
         self.module, self.variables = self.module.reparametrize(self.variables)
         self._eval_fn = None
         self._train_fns = {}
+        self._forward_order = None
         return self
 
     def __repr__(self) -> str:

@@ -22,25 +22,27 @@ class ClassificationTrainer(Trainer):
 
     def evaluate(self) -> Dict[str, float]:
         """Top-1/top-5 accuracy + NaN-safe validation loss (classification.py:43-72)."""
-        _, loss_and_logits = self._eval_fns()
+        forward, _ = self._eval_fns()
+        criterion = self.criterion
         val_loss, top1, top5, num_samples, num_valid_batches = 0.0, 0, 0, 0, 0
         for x, target in self.val_loader:
+            bs = int(np.shape(x)[0])  # true size before any mesh padding
             x, target = self.to_device(x, target)
             self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
-            loss, out = loss_and_logits(self.model.variables, x, target)
-            loss = float(loss)
+            out = forward(self.model.variables, x)[:bs]
+            loss = float(criterion(out, jax.tree.map(lambda t: t[:bs], target)))
             if math.isfinite(loss):
                 val_loss += loss
                 num_valid_batches += 1
             out = np.asarray(out)
-            target_np = np.asarray(target)
+            target_np = np.asarray(target)[:bs]
             # top-5 clamps to the class count (torch's topk would error on <5 classes)
             k = min(5, out.shape[1])
             pred = np.argsort(out, axis=1)[:, ::-1][:, :k]
             correct = pred == target_np.reshape(-1, 1)
             top1 += int(correct[:, 0].sum())
             top5 += int(correct.any(axis=1).sum())
-            num_samples += x.shape[0]
+            num_samples += bs
         val_loss /= max(num_valid_batches, 1)
         return {"val_loss": val_loss, "acc1": top1 / num_samples, "acc5": top5 / num_samples}
 
@@ -83,6 +85,11 @@ class ClassificationTrainer(Trainer):
                 self.criterion.reduction = crit_red
             else:
                 batch_loss = np.asarray(self.criterion(logits, target_dev))
+            # to_device may have wrap-padded the device batch to the mesh multiple;
+            # drop the padded tail so indices line up with the host x/target
+            bs = int(np.shape(x)[0])
+            logits = logits[:bs]
+            batch_loss = batch_loss[:bs]
             if self.is_binary:
                 batch_loss = batch_loss.reshape(batch_loss.shape[0], -1).mean(-1)
                 probs_ = np.asarray(jax.nn.sigmoid(logits)).squeeze(-1)
@@ -144,10 +151,11 @@ class BinaryClassificationTrainer(ClassificationTrainer):
         forward, _ = self._eval_fns()
         val_loss, top1, num_samples, num_valid_batches = 0.0, 0.0, 0, 0
         for x, target in self.val_loader:
+            bs = int(np.shape(x)[0])  # true size before any mesh padding
             x, target = self.to_device(x, target)
             self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
-            out = forward(self.model.variables, x)
-            target_f = jnp.reshape(jnp.asarray(target).astype(out.dtype), out.shape)
+            out = forward(self.model.variables, x)[:bs]
+            target_f = jnp.reshape(jnp.asarray(target)[:bs].astype(out.dtype), out.shape)
             loss = float(self.criterion(out, target_f))
             if math.isfinite(loss):
                 val_loss += loss
@@ -155,7 +163,7 @@ class BinaryClassificationTrainer(ClassificationTrainer):
             out_np = np.asarray(out)
             t_np = np.asarray(target_f)
             top1 += float(((t_np >= 0.5) == (1 / (1 + np.exp(-out_np)) >= 0.5)).sum()) / out_np[0].size
-            num_samples += x.shape[0]
+            num_samples += bs
         val_loss /= max(num_valid_batches, 1)
         return {"val_loss": val_loss, "acc": top1 / num_samples}
 

@@ -69,7 +69,10 @@ class Trainer:
         gradient_clip: Optional[float] = None,
         on_epoch_end: Optional[Callable[[Dict[str, float]], Any]] = None,
         remat: bool = False,
+        partial_batch: str = "pad",
     ) -> None:
+        if partial_batch not in ("pad", "drop"):
+            raise ValueError(f"partial_batch must be 'pad' or 'drop', got {partial_batch!r}")
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -82,6 +85,7 @@ class Trainer:
         self.gradient_acc = gradient_acc
         self.grad_clip = gradient_clip
         self.remat = remat
+        self.partial_batch = partial_batch
         self.output_file = output_file
 
         self.step = 0
@@ -106,12 +110,46 @@ class Trainer:
         self.devices = list(devices) if devices is not None else jax.devices()
         self.mesh = create_mesh(self.devices, ("data",)) if len(self.devices) > 1 else None
 
+    def _pad_partial(self, batch, pad: int):
+        """Wrap-pads every leading-batch-dim leaf by ``pad`` repeated samples."""
+
+        def pad_leaf(leaf):
+            arr = np.asarray(leaf)
+            if arr.ndim == 0:
+                return arr
+            reps = arr[np.arange(pad) % arr.shape[0]]
+            return np.concatenate([arr, reps], axis=0)
+
+        return jax.tree.map(pad_leaf, batch)
+
     def to_device(self, x, target):
-        """Places a host batch on the mesh (data-sharded) or default device."""
-        if self.mesh is not None and np.shape(x)[0] % len(self.devices) == 0:
-            sharding = batch_sharding(self.mesh)
-            return jax.device_put(x, sharding), jax.device_put(target, sharding)
-        return jnp.asarray(x), target if not isinstance(target, (np.ndarray, jnp.ndarray)) else jnp.asarray(target)
+        """Places a host batch on the mesh (data-sharded) or default device.
+
+        A batch whose size does not divide the device count is handled by the
+        explicit ``partial_batch`` policy — never by a silent unsharded fallback
+        (which would both recompile the train step and train single-chip):
+        ``"pad"`` wrap-pads the batch to the next multiple (the duplicated samples
+        are counted twice in that step's mean loss — the documented trade-off);
+        ``"drop"`` skips the batch (handled by the training loop via
+        :meth:`_is_dropped_batch`).
+        """
+        if self.mesh is None:
+            return jnp.asarray(x), target if not isinstance(target, (np.ndarray, jnp.ndarray)) else jnp.asarray(target)
+        n = len(self.devices)
+        rem = int(np.shape(x)[0]) % n
+        if rem:
+            # "drop" batches never reach here (filtered in the loop); pad the rest
+            pad = n - rem
+            x, target = self._pad_partial((x, target), pad)
+        sharding = batch_sharding(self.mesh)
+        return jax.device_put(x, sharding), jax.tree.map(lambda t: jax.device_put(t, sharding), target)
+
+    def _is_dropped_batch(self, x) -> bool:
+        return (
+            self.partial_batch == "drop"
+            and self.mesh is not None
+            and int(np.shape(x)[0]) % len(self.devices) != 0
+        )
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -185,19 +223,36 @@ class Trainer:
         if params is None:
             raise RuntimeError("model parameters are not initialized — run a forward pass first")
 
-        mask = freeze_model(params, freeze_until)
+        # true forward order (not flax's name-sorted tree order) for prefix freezing
+        order = self.model.forward_order() if freeze_until is not None else None
+        mask = freeze_model(params, freeze_until, order)
         if not any(jax.tree.leaves(mask)):
             raise AssertionError("All parameters are frozen")
         self._trainable_mask = mask
 
         base = self._base_tx(lr_or_schedule)
         if norm_weight_decay is not None:
-            # per-group weight decay on normalization params (core.py:238-252); applied
-            # as an extra additive decay on the norm group
-            norm_mask, _ = split_normalization_params(params)
-            base = optax.chain(
-                optax.masked(optax.add_decayed_weights(norm_weight_decay), norm_mask), base
-            )
+            # Per-group weight decay on norm params (reference core.py:238-252): the
+            # norm group's decay REPLACES the optimizer's default. When the optimizer
+            # factory accepts a ``weight_decay`` kwarg (all CLI factories do), build a
+            # second instance with the norm decay and mask the two over the split;
+            # otherwise fall back to an extra additive decay on the norm group (the
+            # base optimizer's own decay still applies — documented divergence).
+            norm_mask, other_mask = split_normalization_params(params)
+            norm_base = None
+            if callable(self.optimizer) and not isinstance(self.optimizer, optax.GradientTransformation):
+                try:
+                    norm_base = self.optimizer(lr_or_schedule, weight_decay=norm_weight_decay)
+                except TypeError:
+                    norm_base = None
+            if norm_base is not None:
+                base = optax.chain(
+                    optax.masked(base, other_mask), optax.masked(norm_base, norm_mask)
+                )
+            else:
+                base = optax.chain(
+                    optax.masked(optax.add_decayed_weights(norm_weight_decay), norm_mask), base
+                )
         inner = base
         if isinstance(self.grad_clip, float):
             inner = optax.chain(optax.clip_by_global_norm(self.grad_clip), inner)
@@ -215,9 +270,23 @@ class Trainer:
         self._freeze_until = freeze_until
         self._build_train_step()
 
+    def _make_loss_forward(self, module, mutable):
+        """``(variables, x, target, rng) -> (loss, state_updates)`` — the only part of
+        the train step that differs per task; overridden by DetectionTrainer."""
+        criterion = self.criterion
+
+        def loss_forward(variables, x, target, rng):
+            if mutable:
+                out, updates = module.apply(variables, x, train=True, mutable=mutable, rngs={"dropout": rng})
+            else:
+                out, updates = module.apply(variables, x, train=True, rngs={"dropout": rng}), {}
+            out = jax.tree.map(lambda o: o.astype(jnp.float32), out)
+            return criterion(out, target), updates
+
+        return loss_forward
+
     def _build_train_step(self) -> None:
         module = self.model.module
-        criterion = self.criterion
         tx = self._tx
         amp = self.amp
         remat = self.remat
@@ -226,25 +295,20 @@ class Trainer:
         # frozen layers keep their BN statistics too (the reference's freeze_bn)
         stats_mask = None
         if getattr(self, "_freeze_until", None) is not None and net_state:
-            stats_mask = {k: freeze_model(v, self._freeze_until) for k, v in net_state.items()}
+            order = self.model.forward_order()
+            stats_mask = {k: freeze_model(v, self._freeze_until, order) for k, v in net_state.items()}
+        loss_forward = self._make_loss_forward(module, mutable)
+        if remat:
+            # rematerialize activations in the backward pass: trades FLOPs for
+            # HBM so larger batches fit (jax.checkpoint over the whole forward)
+            loss_forward = jax.checkpoint(loss_forward)
 
         def train_step(params, net_state, opt_state, x, target, rng):
             def loss_fn(p):
                 p_c = jax.tree.map(lambda t: t.astype(jnp.bfloat16), p) if amp else p
                 x_c = x.astype(jnp.bfloat16) if amp else x
                 variables = {"params": p_c, **net_state}
-                def forward(variables, inp, r):
-                    if mutable:
-                        return module.apply(variables, inp, train=True, mutable=mutable, rngs={"dropout": r})
-                    return module.apply(variables, inp, train=True, rngs={"dropout": r}), {}
-
-                if remat:
-                    # rematerialize activations in the backward pass: trades FLOPs for
-                    # HBM so larger batches fit (jax.checkpoint over the whole forward)
-                    forward = jax.checkpoint(forward)
-                out, updates = forward(variables, x_c, rng)
-                out = jax.tree.map(lambda o: o.astype(jnp.float32), out)
-                return criterion(out, target), updates
+                return loss_forward(variables, x_c, target, rng)
 
             (loss, new_net_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             if stats_mask is not None:
@@ -297,9 +361,10 @@ class Trainer:
             return 0
 
         pending: deque = deque()
+        batches = (b for b in self.train_loader if not self._is_dropped_batch(b[0]))
         # 2-batch device-placement lookahead: device_put is async, so upcoming H2D
         # transfers ride alongside the current step's compute
-        for x, target in prefetch(self.train_loader, lambda batch: self.to_device(*batch), size=2):
+        for x, target in prefetch(batches, lambda batch: self.to_device(*batch), size=2):
             pending.append(self._run_step_async(x, target))
             if len(pending) > readback_lag:
                 nan_cnt = check(float(pending.popleft()))

@@ -46,36 +46,24 @@ class DetectionTrainer(Trainer):
     ``labels`` and ``scores`` numpy arrays.
     """
 
-    def _build_train_step(self) -> None:
-        module = self.model.module
-        tx = self._tx
-        amp = self.amp
-        net_state = self.model.state or {}
-        mutable = list(net_state.keys())
+    def _make_loss_forward(self, module, mutable):
+        """Swaps the loss computation only: detection modules take the target in the
+        forward and return a loss dict (summed here, reference detection.py:66-74).
+        The shared train-step body in the base class keeps remat and the frozen-BN
+        stats mask working for detection too."""
 
-        def train_step(params, net_state, opt_state, x, target, rng):
-            def loss_fn(p):
-                p_c = jax.tree.map(lambda t: t.astype(jnp.bfloat16), p) if amp else p
-                x_c = x.astype(jnp.bfloat16) if amp else x
-                variables = {"params": p_c, **net_state}
-                if mutable:
-                    loss_dict, updates = module.apply(
-                        variables, x_c, target, train=True, mutable=mutable, rngs={"dropout": rng}
-                    )
-                else:
-                    loss_dict = module.apply(variables, x_c, target, train=True, rngs={"dropout": rng})
-                    updates = {}
-                loss = sum(jnp.asarray(v, jnp.float32) for v in loss_dict.values())
-                return loss, updates
+        def loss_forward(variables, x, target, rng):
+            if mutable:
+                loss_dict, updates = module.apply(
+                    variables, x, target, train=True, mutable=mutable, rngs={"dropout": rng}
+                )
+            else:
+                loss_dict = module.apply(variables, x, target, train=True, rngs={"dropout": rng})
+                updates = {}
+            loss = sum(jnp.asarray(v, jnp.float32) for v in loss_dict.values())
+            return loss, updates
 
-            (loss, new_net_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            import optax
-
-            params = optax.apply_updates(params, updates)
-            return params, new_net_state, opt_state, loss
-
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        return loss_forward
 
     @staticmethod
     def _eval_metrics_str(eval_metrics: Dict[str, Optional[float]]) -> str:

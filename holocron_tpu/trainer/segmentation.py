@@ -27,7 +27,8 @@ class SegmentationTrainer(Trainer):
         self.num_classes = num_classes
 
     def evaluate(self, ignore_index: int = 255) -> Dict[str, float]:
-        _, loss_and_logits = self._eval_fns()
+        forward, _ = self._eval_fns()
+        criterion = self.criterion
         nc = self.num_classes
 
         @jax.jit
@@ -41,10 +42,12 @@ class SegmentationTrainer(Trainer):
         val_loss, num_valid_batches = 0.0, 0
         conf_mat = np.zeros((nc, nc), dtype=np.int64)
         for x, target in self.val_loader:
+            bs = int(np.shape(x)[0])  # true size before any mesh padding
             x, target = self.to_device(x, target)
             self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
-            loss, out = loss_and_logits(self.model.variables, x, target)
-            loss = float(loss)
+            out = forward(self.model.variables, x)[:bs]
+            target = jax.tree.map(lambda t: t[:bs], target)
+            loss = float(criterion(out, target))
             if math.isfinite(loss):
                 val_loss += loss
                 num_valid_batches += 1

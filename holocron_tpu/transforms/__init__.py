@@ -1,2 +1,3 @@
+from .augment import Compose, RandomErasing, RandomHorizontalFlip, RandomResizedCrop, TrivialAugmentWide
 from .functional import fused_preprocess
 from .interpolation import RandomZoomOut, Resize, ResizeMethod

@@ -22,25 +22,43 @@ def build_optimizer(args):
     from holocron_tpu import optim
 
     wd = args.weight_decay
+    # factories accept a weight_decay override so the trainer can build the norm
+    # param group with --norm-wd REPLACING the default decay (reference semantics,
+    # holocron/trainer/core.py:238-252)
     return {
-        "sgd": lambda lr: optax.sgd(lr, momentum=0.9),
-        "adam": lambda lr: optax.adam(lr),
-        "adamw": lambda lr: optax.adamw(lr, weight_decay=wd),
-        "radam": lambda lr: optax.radam(lr),
-        "adamp": lambda lr: optim.adamp(lr, weight_decay=wd),
-        "adabelief": lambda lr: optim.adabelief(lr, weight_decay=wd),
-        "ademamix": lambda lr: optim.ademamix(lr, weight_decay=wd),
-        "lamb": lambda lr: optim.lamb(lr, weight_decay=wd),
-        "lars": lambda lr: optim.lars(lr, momentum=0.9, weight_decay=wd),
-        "tadam": lambda lr: optim.tadam(lr, weight_decay=wd),
-        "adan": lambda lr: optim.adan(lr, weight_decay=wd),
+        "sgd": lambda lr, weight_decay=wd: optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.sgd(lr, momentum=0.9)
+        ),
+        "adam": lambda lr, weight_decay=wd: optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.adam(lr)
+        ),
+        "adamw": lambda lr, weight_decay=wd: optax.adamw(lr, weight_decay=weight_decay),
+        # torch.optim.RAdam couples weight decay into the gradient (reference
+        # references/classification/train.py:200-203, betas=(0.95, 0.99), eps=1e-6)
+        "radam": lambda lr, weight_decay=wd: optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.radam(lr, b1=0.95, b2=0.99, eps=1e-6)
+        ),
+        "adamp": lambda lr, weight_decay=wd: optim.adamp(lr, weight_decay=weight_decay),
+        "adabelief": lambda lr, weight_decay=wd: optim.adabelief(lr, weight_decay=weight_decay),
+        "ademamix": lambda lr, weight_decay=wd: optim.ademamix(lr, weight_decay=weight_decay),
+        "lamb": lambda lr, weight_decay=wd: optim.lamb(lr, weight_decay=weight_decay),
+        "lars": lambda lr, weight_decay=wd: optim.lars(lr, momentum=0.9, weight_decay=weight_decay),
+        "tadam": lambda lr, weight_decay=wd: optim.tadam(lr, weight_decay=weight_decay),
+        "adan": lambda lr, weight_decay=wd: optim.adan(lr, weight_decay=weight_decay),
     }[args.opt]
 
 
 def build_datasets(args):
-    from holocron_tpu.models.presets import IMAGENETTE
-    from holocron_tpu.transforms import RandomZoomOut, Resize
-    from holocron_tpu.utils.data import ImageFolder, SyntheticDataset, normalize_image
+    from holocron_tpu.models.presets import CIFAR10 as CIF10_PRESET, IMAGENETTE
+    from holocron_tpu.transforms import (
+        Compose,
+        RandomErasing,
+        RandomHorizontalFlip,
+        RandomResizedCrop,
+        Resize,
+        TrivialAugmentWide,
+    )
+    from holocron_tpu.utils.data import CIFAR10, CIFAR100, ImageFolder, SyntheticDataset, normalize_image
 
     if args.data_path == "fake":
         shape = (args.train_crop_size, args.train_crop_size, 3)
@@ -48,23 +66,44 @@ def build_datasets(args):
         val_set = SyntheticDataset(max(args.fake_samples // 4, args.batch_size), shape, args.num_classes, seed=1)
         return train_set, val_set, [str(i) for i in range(args.num_classes)]
 
-    mean, std = IMAGENETTE.mean, IMAGENETTE.std
+    dataset = args.dataset.lower()
+    preset = IMAGENETTE if dataset == "imagenette" else CIF10_PRESET
+    mean, std = preset.mean, preset.std
 
-    def train_tf(img):
-        img = Resize((args.train_crop_size, args.train_crop_size))(img)
-        arr = normalize_image(img, mean, std)
-        if np.random.random() < 0.5:  # random horizontal flip
-            arr = arr[:, ::-1]
-        return np.ascontiguousarray(arr)
+    def normalize(img):
+        return normalize_image(img, mean, std)
 
-    def val_tf(img):
-        img = Resize((args.val_resize_size, args.val_resize_size))(img)
-        arr = normalize_image(img, mean, std)
-        off = (args.val_resize_size - args.val_crop_size) // 2
-        return arr[off : off + args.val_crop_size, off : off + args.val_crop_size]
+    # the recipe every published checkpoint's train_args records
+    # (reference references/classification/train.py:100-108)
+    if dataset == "imagenette":
+        train_tf = Compose([
+            RandomResizedCrop(args.train_crop_size, scale=(0.3, 1.0)),
+            RandomHorizontalFlip(),
+            TrivialAugmentWide(),
+            normalize,
+            RandomErasing(p=args.random_erase, scale=(0.02, 0.2)),
+        ])
 
-    train_set = ImageFolder(Path(args.data_path) / "train", transform=train_tf)
-    val_set = ImageFolder(Path(args.data_path) / "val", transform=val_tf)
+        def val_tf(img):
+            img = Resize((args.val_resize_size, args.val_resize_size))(img)
+            arr = normalize_image(img, mean, std)
+            off = (args.val_resize_size - args.val_crop_size) // 2
+            return arr[off : off + args.val_crop_size, off : off + args.val_crop_size]
+
+        train_set = ImageFolder(Path(args.data_path) / "train", transform=train_tf)
+        val_set = ImageFolder(Path(args.data_path) / "val", transform=val_tf)
+        return train_set, val_set, train_set.classes
+
+    # CIFAR path (reference train.py:111-124): no resizing, flip + TrivialAugmentWide
+    cifar = CIFAR100 if dataset == "cifar100" else CIFAR10
+    train_tf = Compose([
+        RandomHorizontalFlip(),
+        TrivialAugmentWide(),
+        normalize,
+        RandomErasing(p=args.random_erase),
+    ])
+    train_set = cifar(args.data_path, train=True, transform=train_tf)
+    val_set = cifar(args.data_path, train=False, transform=normalize)
     return train_set, val_set, train_set.classes
 
 
@@ -82,7 +121,7 @@ def main(args):
             args.codecarbon = False
 
     from holocron_tpu.models import classification
-    from holocron_tpu.nn.functional import cross_entropy, multilabel_cross_entropy
+    from holocron_tpu.nn.functional import multilabel_cross_entropy
     from holocron_tpu.trainer import ClassificationTrainer
     from holocron_tpu.utils.data import DataLoader, Mixup
 
@@ -106,12 +145,16 @@ def main(args):
 
     model = classification.__dict__[args.arch](pretrained=args.pretrained, num_classes=num_classes)
 
-    # label smoothing + soft-target support (Mixup produces dense targets)
+    # label smoothing applies to BOTH soft (Mixup) and hard int targets — the
+    # reference passes label_smoothing to CrossEntropyLoss unconditionally
+    # (references/classification/train.py:194)
+    import jax
+
     def criterion(out, target):
-        if target.ndim == out.ndim:
-            smoothed = target * (1 - args.label_smoothing) + args.label_smoothing / num_classes
-            return multilabel_cross_entropy(out, smoothed)
-        return cross_entropy(out, target)
+        if target.ndim != out.ndim:  # hard int targets -> one-hot
+            target = jax.nn.one_hot(target, num_classes, dtype=out.dtype)
+        smoothed = target * (1 - args.label_smoothing) + args.label_smoothing / num_classes
+        return multilabel_cross_entropy(out, smoothed)
 
     trainer = ClassificationTrainer(
         model,
@@ -170,6 +213,9 @@ def parse_args():
     )
     group = parser.add_argument_group("Data & model")
     group.add_argument("data_path", type=str, help="path to dataset folder ('fake' for synthetic data)")
+    group.add_argument(
+        "--dataset", default="imagenette", type=str, help="dataset to train on (imagenette/cifar10/cifar100)"
+    )
     group.add_argument("--arch", default="darknet19", type=str, help="architecture to use")
     group.add_argument("--pretrained", action="store_true", help="use pre-trained parameters")
     group.add_argument("--num-classes", default=10, type=int, help="number of classes")
@@ -189,6 +235,7 @@ def parse_args():
     group.add_argument("--val-resize-size", default=232, type=int)
     group.add_argument("--val-crop-size", default=224, type=int)
     group.add_argument("--mixup-alpha", default=0.2, type=float)
+    group.add_argument("--random-erase", default=0.0, type=float, help="probability to do random erasing")
 
     group = parser.add_argument_group("Optimization")
     group.add_argument("--epochs", default=20, type=int)

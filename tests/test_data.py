@@ -5,6 +5,7 @@ references/classification/train.py:137-146.
 """
 
 import numpy as np
+import pytest
 
 from holocron_tpu.utils.data import DataLoader, prefetch
 
@@ -61,3 +62,40 @@ def test_prefetch_semantics():
     assert next(gen) == 0
     assert calls == [0, 1, 2]  # stays 2 items ahead of consumption
     assert list(gen) == [1, 2, 3, 4, 5]
+
+
+def _write_fake_cifar10(root):
+    import pickle
+
+    base = root / "cifar-10-batches-py"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(1, 6):
+        data = rng.integers(0, 256, size=(4, 3072), dtype=np.uint8)
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": list(rng.integers(0, 10, size=4))}, f)
+    with open(base / "test_batch", "wb") as f:
+        pickle.dump(
+            {b"data": rng.integers(0, 256, size=(6, 3072), dtype=np.uint8), b"labels": list(range(6))}, f
+        )
+    with open(base / "batches.meta", "wb") as f:
+        pickle.dump({b"label_names": [f"class_{i}".encode() for i in range(10)]}, f)
+
+
+def test_cifar10_reader(tmp_path):
+    from holocron_tpu.utils.data import CIFAR10
+
+    _write_fake_cifar10(tmp_path)
+    train = CIFAR10(str(tmp_path), train=True)
+    test = CIFAR10(str(tmp_path), train=False)
+    assert len(train) == 20 and len(test) == 6
+    img, label = train[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert isinstance(label, int)
+    assert train.classes == [f"class_{i}" for i in range(10)]
+    # transform hook
+    ds = CIFAR10(str(tmp_path), train=False, transform=lambda im: im.astype(np.float32) / 255)
+    img2, _ = ds[0]
+    assert img2.dtype == np.float32 and img2.max() <= 1.0
+    with pytest.raises(FileNotFoundError):
+        CIFAR10(str(tmp_path / "nope"))

@@ -371,3 +371,120 @@ def test_training_learns_separable_data():
     trainer.fit_n_epochs(3, lr=5e-3, sched_type="constant")
     metrics = trainer.evaluate()
     assert metrics["acc1"] > 0.9, metrics
+
+
+def test_freeze_model_forward_order():
+    # explicit forward order beats name-sorted order ('head' sorts first, stem last)
+    params = {
+        "head": {"kernel": 1},
+        "layer_10": {"kernel": 2},
+        "layer_2": {"kernel": 3},
+        "stem": {"kernel": 4},
+    }
+    order = ["stem", "layer_2", "layer_10", "head"]
+    mask = freeze_model(params, "layer_2", order)
+    assert mask == {
+        "stem": {"kernel": False},
+        "layer_2": {"kernel": False},
+        "layer_10": {"kernel": True},
+        "head": {"kernel": True},
+    }
+    # natural-sort fallback: layer_10 comes AFTER layer_2 (lexicographic would invert)
+    mask = freeze_model(params, "layer_2")
+    assert mask["layer_10"] == {"kernel": True}
+    assert mask["layer_2"] == {"kernel": False}
+
+
+def test_freeze_until_resnet_forward_order():
+    """Regression: ResNet-style trees flatten as head < layer_* < stem_0; freezing
+    through layer_0_0 must freeze the STEM (called first) and keep the HEAD
+    trainable — the exact inversion the name-sorted mask got wrong."""
+    from holocron_tpu.models.classification.resnet import BasicBlock, ResNet
+
+    model = Model(ResNet(BasicBlock, [1, 1], [8, 16], num_classes=5))
+    x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y = np.random.default_rng(1).integers(0, 5, size=(8,)).astype(np.int32)
+
+    trainer = ClassificationTrainer(
+        model,
+        [(x, y)],
+        [(x, y)],
+        cross_entropy,
+        lambda lr: optim.adabelief(lr=lr),
+    )
+    model._ensure_init(jnp.asarray(x))
+    order = model.forward_order()
+    assert order.index("stem_0") < order.index("layer_0_0") < order.index("head")
+    before = jax.tree.map(np.asarray, model.params)
+    trainer._reset_opt(1e-2, freeze_until="layer_0_0")
+    trainer._run_step(x, y)
+    after = model.params
+    # stem (before the frozen layer in forward order) is frozen
+    for a, b in zip(jax.tree.leaves(before["stem_0"]), jax.tree.leaves(after["stem_0"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(before["layer_0_0"]), jax.tree.leaves(after["layer_0_0"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # layers after it, and the head, remain trainable
+    assert not np.allclose(np.asarray(before["head"]["kernel"]), np.asarray(after["head"]["kernel"]))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before["layer_1_0"]), jax.tree.leaves(after["layer_1_0"]))
+    )
+
+
+def test_partial_batch_pad():
+    # batch 5 on the 8-device mesh: wrap-padded to 8 and sharded (never unsharded)
+    trainer = make_trainer()
+    assert trainer.mesh is not None
+    x = np.zeros((5, 16, 16, 3), np.float32)
+    y = np.arange(5, dtype=np.int32)
+    x_dev, y_dev = trainer.to_device(x, y)
+    assert x_dev.shape[0] == 8 and y_dev.shape[0] == 8
+    np.testing.assert_array_equal(np.asarray(y_dev), [0, 1, 2, 3, 4, 0, 1, 2])
+    assert len(x_dev.sharding.device_set) == 8
+    # and training on a partial batch still works end to end
+    trainer2 = make_trainer(train_loader=MockLoader(batch_size=5), val_loader=MockLoader(batch_size=5, seed=1))
+    losses = trainer2.check_setup(lr=5e-3, num_it=5)
+    assert all(math.isfinite(v) for v in losses)
+
+
+def test_partial_batch_drop():
+    class MixedLoader:
+        def __len__(self):
+            return 3
+
+        def __iter__(self):
+            r = np.random.default_rng(0)
+            for bs in (8, 5, 8):  # the size-5 batch must be skipped
+                yield (
+                    r.normal(size=(bs, 16, 16, 3)).astype(np.float32),
+                    r.integers(0, 5, size=(bs,)).astype(np.int32),
+                )
+
+    trainer = make_trainer(train_loader=MixedLoader(), partial_batch="drop")
+    trainer.fit_n_epochs(1, lr=1e-3)
+    assert trainer.step == 2  # 3 batches, 1 dropped
+
+    with pytest.raises(ValueError):
+        make_trainer(partial_batch="bogus")
+
+
+def test_sharded_matches_single_device_trajectory():
+    """The one multi-chip correctness claim the CPU mesh can prove: an 8-way
+    data-sharded fit reproduces the single-device loss trajectory and final params."""
+
+    def run(devices):
+        trainer = make_trainer(
+            model=tiny_model(),
+            train_loader=MockLoader(batch_size=8),
+            val_loader=MockLoader(batch_size=8, seed=1),
+            devices=devices,
+        )
+        losses = trainer.check_setup(lr=5e-3, num_it=8)
+        return losses, jax.tree.map(np.asarray, trainer.model.params)
+
+    losses_1, params_1 = run(jax.devices()[:1])
+    losses_8, params_8 = run(None)  # all 8 mesh devices
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_8)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)

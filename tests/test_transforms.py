@@ -79,3 +79,107 @@ def test_parallel():
     assert list(out) == [x**2 for x in range(10)]
     out = parallel(lambda x: x + 1, list(range(5)), num_threads=1)
     assert list(out) == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# training-recipe augmentations (reference references/classification/train.py:100-108)
+# ---------------------------------------------------------------------------
+
+
+def _pil_image(h=48, w=64, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    return Image.fromarray(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+
+def test_random_resized_crop_shapes_and_coverage():
+    from holocron_tpu.transforms import RandomResizedCrop
+
+    tf = RandomResizedCrop(32, scale=(0.3, 1.0), seed=0)
+    img = _pil_image()
+    out = tf(img)
+    assert out.size == (32, 32)
+    arr = np.random.default_rng(0).integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    out_np = tf(arr)
+    assert out_np.shape == (32, 32, 3) and out_np.dtype == np.uint8
+    # crop params stay in-bounds and span the configured areas
+    areas = []
+    for _ in range(200):
+        top, left, h, w = tf.get_params(arr)
+        assert 0 <= top <= 48 - h and 0 <= left <= 64 - w
+        areas.append(h * w / (48 * 64))
+    assert min(areas) < 0.5 and max(areas) > 0.7  # scale=(0.3, 1.0) gets exercised
+    with pytest.raises(ValueError):
+        RandomResizedCrop(32, scale=(1.0, 0.3))
+
+
+def test_random_horizontal_flip():
+    from holocron_tpu.transforms import RandomHorizontalFlip
+
+    arr = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    always = RandomHorizontalFlip(p=1.0, seed=0)
+    np.testing.assert_array_equal(always(arr), arr[:, ::-1])
+    never = RandomHorizontalFlip(p=0.0, seed=0)
+    np.testing.assert_array_equal(never(arr), arr)
+    out = always(_pil_image(4, 6))
+    assert out.size == (6, 4)
+
+
+def test_trivial_augment_wide_shapes_and_op_coverage():
+    from holocron_tpu.transforms import TrivialAugmentWide
+
+    tf = TrivialAugmentWide(seed=0)
+    img = _pil_image()
+    arr = np.asarray(img)
+    seen_change = 0
+    for _ in range(60):
+        out = tf(img)
+        assert out.size == img.size
+        out_np = tf(arr)
+        assert out_np.shape == arr.shape and out_np.dtype == np.uint8
+        if not np.array_equal(out_np, arr):
+            seen_change += 1
+    # with 13/14 non-identity ops, the vast majority of draws must alter the image
+    assert seen_change > 40
+
+
+def test_trivial_augment_magnitude_tables():
+    from holocron_tpu.transforms import TrivialAugmentWide
+
+    tf = TrivialAugmentWide(seed=0)
+    mags = {op: [tf._magnitude(op) for _ in range(300)] for op in tf._ops}
+    assert max(mags["ShearX"]) <= 0.99 and min(mags["ShearX"]) >= 0.0
+    assert max(mags["TranslateX"]) <= 32.0
+    assert max(mags["Rotate"]) <= 135.0
+    assert set(mags["Posterize"]) <= set(range(2, 9))
+    assert max(mags["Solarize"]) <= 255.0 and min(mags["Solarize"]) >= 0.0
+
+
+def test_random_erasing_area_distribution():
+    from holocron_tpu.transforms import RandomErasing
+
+    tf = RandomErasing(p=1.0, scale=(0.02, 0.2), seed=0)
+    img = np.zeros((64, 64, 3), np.float32)
+    fracs = []
+    for _ in range(100):
+        out = tf(img)
+        changed = np.any(out != 0, axis=-1)
+        fracs.append(changed.mean())
+        assert out.shape == img.shape
+    # erased fraction stays within the configured scale range (rounding slack)
+    assert all(0.01 <= f <= 0.25 for f in fracs)
+    assert 0.02 <= np.mean(fracs) <= 0.2
+    # p=0 is the identity
+    same = RandomErasing(p=0.0, seed=0)(img)
+    np.testing.assert_array_equal(same, img)
+    with pytest.raises(TypeError):
+        tf(_pil_image())
+
+
+def test_compose_chains():
+    from holocron_tpu.transforms import Compose, RandomHorizontalFlip, RandomResizedCrop
+
+    tf = Compose([RandomResizedCrop(16, seed=0), RandomHorizontalFlip(p=1.0, seed=0)])
+    out = tf(_pil_image())
+    assert out.size == (16, 16)
