@@ -38,7 +38,7 @@ def ademamix(
         if params is None:
             raise ValueError("AdEMAMix requires params")
         count = state.count + 1
-        lr_t = lr_at(lr, count)
+        lr_t = lr_at(lr, state.count)  # 0-based: optax convention, first step uses schedule(0)
         bc1 = 1.0 - beta1**count
         bc2 = 1.0 - beta2**count
 

@@ -45,7 +45,7 @@ def lars(
         if params is None:
             raise ValueError("LARS requires params")
         count = state.count + 1
-        lr_t = lr_at(lr, count)
+        lr_t = lr_at(lr, state.count)  # 0-based: optax convention, first step uses schedule(0)
 
         def leaf_update(g, p, buf):
             p_norm = l2_norm(p)

@@ -36,7 +36,7 @@ def ralars(
         if params is None:
             raise ValueError("RaLars requires params")
         count = state.count + 1
-        lr_t = lr_at(lr, count)
+        lr_t = lr_at(lr, state.count)  # 0-based: optax convention, first step uses schedule(0)
         mu = jax.tree.map(lambda m, g: beta1 * m + (1 - beta1) * g, state.mu, updates)
         nu = jax.tree.map(lambda v, g: beta2 * v + (1 - beta2) * g * g, state.nu, updates)
 

@@ -422,7 +422,9 @@ class Trainer:
             raise ValueError("the value of `num_it` needs to be lower than the number of available batches")
         self.model._ensure_init(jnp.asarray(next(iter(self.train_loader))[0]))
         gamma = (end_lr / start_lr) ** (1 / (num_it - 1))
-        schedule = lambda count: start_lr * gamma ** jnp.maximum(count - 1, 0)  # noqa: E731
+        # 0-based schedule convention (optax built-ins and the zoo agree): step k
+        # uses lr = start_lr * gamma**k, matching lr_recorder below
+        schedule = lambda count: start_lr * gamma**count  # noqa: E731
         self._reset_opt(schedule, norm_weight_decay, freeze_until)
 
         self.lr_recorder = [start_lr * gamma**idx for idx in range(num_it)]

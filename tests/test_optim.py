@@ -117,3 +117,22 @@ def test_optimizers_are_jittable_and_vectorized():
         state = tx.init(params)
         updates, state2 = jax.jit(tx.update)(grads, state, params)
         assert jax.tree.structure(updates) == jax.tree.structure(params)
+
+
+def test_schedules_are_zero_based():
+    """The zoo evaluates LR schedules with optax's 0-based convention: the first
+    update uses schedule(0), so onecycle/cosine align with optax built-ins used by
+    the CLIs (regression for the off-by-one vs sgd/adamw)."""
+    import jax.numpy as jnp
+
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.full(3, 0.5)}
+    sched = lambda count: jnp.where(count == 0, 1e-1, 1e-5)  # noqa: E731
+    for factory in (optim.adabelief, optim.adamp, optim.lamb, optim.lars, optim.tadam,
+                    optim.adan, optim.ademamix, optim.ralars):
+        tx_sched = factory(sched)
+        tx_const = factory(1e-1)
+        up_s, _ = tx_sched.update(grads, tx_sched.init(params), params)
+        up_c, _ = tx_const.update(grads, tx_const.init(params), params)
+        np.testing.assert_allclose(np.asarray(up_s["w"]), np.asarray(up_c["w"]), rtol=1e-6,
+                                   err_msg=factory.__name__)
