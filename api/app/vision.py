@@ -45,22 +45,46 @@ def get_model():
 
 
 def decode_image(img_data: bytes):
+    """PIL decode — the fallback for non-JPEG payloads only (the JPEG hot path is
+    native, see :func:`preprocess_bytes`)."""
     from PIL import Image
 
     return Image.open(io.BytesIO(img_data)).convert("RGB")
 
 
 def preprocess_image(pil_img) -> np.ndarray:
-    """Resize to 224px + normalize with the preset stats (vision.py:35-53)."""
-    img = pil_img.resize((224, 224))
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    arr = (arr - np.asarray(IMAGENETTE.mean, np.float32)) / np.asarray(IMAGENETTE.std, np.float32)
-    return arr[None]  # (1, 224, 224, 3)
+    """uint8 PIL image -> normalized (1, 224, 224, 3) via the fused on-device
+    preprocess (resize + scale + normalize in ONE jitted XLA program,
+    holocron_tpu/transforms/functional.py) — no host-side PIL resize."""
+    from holocron_tpu.transforms import fused_preprocess
+
+    arr = jnp.asarray(np.asarray(pil_img, dtype=np.uint8)[None])
+    out = fused_preprocess(arr, (224, 224), IMAGENETTE.mean, IMAGENETTE.std, dtype=jnp.float32)
+    return out
+
+
+def preprocess_bytes(img_data: bytes):
+    """Encoded image bytes -> model-ready (1, 224, 224, 3).
+
+    JPEG payloads (the overwhelmingly common case) take the native path: libjpeg
+    decode + bilinear resize + normalize fused in C++ (native/holocron_loader.cpp),
+    zero PIL involvement. Anything else falls back to PIL decode + the fused
+    on-device preprocess.
+    """
+    if img_data[:3] == b"\xff\xd8\xff":  # JPEG magic
+        from holocron_tpu.utils.data import decode_batch, native_available
+
+        if native_available():
+            try:
+                return jnp.asarray(decode_batch([img_data], 224, 224, IMAGENETTE.mean, IMAGENETTE.std))
+            except ValueError:
+                pass  # corrupt JPEG: let PIL try (it may still raise)
+    return preprocess_image(decode_image(img_data))
 
 
 def classify_image(img_data: bytes) -> Tuple[str, float]:
     model = get_model()
-    x = jnp.asarray(preprocess_image(decode_image(img_data)))
+    x = preprocess_bytes(img_data)
     logits = model(x)
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
     idx = int(probs.argmax())

@@ -34,8 +34,9 @@ class RandomHorizontalFlip:
         self.p = p
         self._rng = np.random.default_rng(seed)
 
-    def __call__(self, image):
-        if float(self._rng.random()) >= self.p:
+    def __call__(self, image, rng=None):
+        rng = self._rng if rng is None else rng
+        if float(rng.random()) >= self.p:
             return image
         if isinstance(image, np.ndarray):
             return np.ascontiguousarray(image[:, ::-1])
@@ -66,18 +67,19 @@ class RandomResizedCrop:
         self.interpolation = interpolation
         self._rng = np.random.default_rng(seed)
 
-    def get_params(self, image) -> Tuple[int, int, int, int]:
+    def get_params(self, image, rng=None) -> Tuple[int, int, int, int]:
+        rng = self._rng if rng is None else rng
         height, width = _get_image_shape(image)
         area = height * width
         log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
         for _ in range(10):
-            target_area = area * float(self._rng.uniform(*self.scale))
-            aspect = math.exp(float(self._rng.uniform(*log_ratio)))
+            target_area = area * float(rng.uniform(*self.scale))
+            aspect = math.exp(float(rng.uniform(*log_ratio)))
             w = int(round(math.sqrt(target_area * aspect)))
             h = int(round(math.sqrt(target_area / aspect)))
             if 0 < w <= width and 0 < h <= height:
-                top = int(self._rng.integers(0, height - h + 1))
-                left = int(self._rng.integers(0, width - w + 1))
+                top = int(rng.integers(0, height - h + 1))
+                left = int(rng.integers(0, width - w + 1))
                 return top, left, h, w
         # fallback: center crop at the closest in-range aspect ratio
         in_ratio = width / height
@@ -89,8 +91,8 @@ class RandomResizedCrop:
             w, h = width, height
         return (height - h) // 2, (width - w) // 2, h, w
 
-    def __call__(self, image):
-        top, left, h, w = self.get_params(image)
+    def __call__(self, image, rng=None):
+        top, left, h, w = self.get_params(image, rng)
         return _resize(_crop(image, top, left, h, w), self.size, self.interpolation)
 
 
@@ -123,9 +125,10 @@ class TrivialAugmentWide:
             "Equalize",
         ]
 
-    def _magnitude(self, op: str) -> float:
+    def _magnitude(self, op: str, rng=None) -> float:
+        rng = self._rng if rng is None else rng
         bins = self.NUM_BINS
-        idx = int(self._rng.integers(0, bins))
+        idx = int(rng.integers(0, bins))
         # torchvision TrivialAugmentWide magnitude tables
         if op in ("ShearX", "ShearY", "Brightness", "Color", "Contrast", "Sharpness"):
             return 0.99 * idx / (bins - 1)
@@ -139,7 +142,8 @@ class TrivialAugmentWide:
             return 255.0 * (1 - idx / (bins - 1))
         return 0.0
 
-    def __call__(self, image):
+    def __call__(self, image, rng=None):
+        rng = self._rng if rng is None else rng
         from PIL import Image, ImageEnhance, ImageOps
 
         as_array = isinstance(image, np.ndarray)
@@ -149,9 +153,9 @@ class TrivialAugmentWide:
         else:
             pil = image
 
-        op = self._ops[int(self._rng.integers(0, len(self._ops)))]
-        mag = self._magnitude(op)
-        if op in ("ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate", "Brightness", "Color", "Contrast", "Sharpness") and self._rng.random() < 0.5:
+        op = self._ops[int(rng.integers(0, len(self._ops)))]
+        mag = self._magnitude(op, rng)
+        if op in ("ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate", "Brightness", "Color", "Contrast", "Sharpness") and rng.random() < 0.5:
             mag = -mag
 
         resample = {"nearest": Image.NEAREST, "bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC}[
@@ -215,24 +219,25 @@ class RandomErasing:
         self.ratio = tuple(ratio)
         self._rng = np.random.default_rng(seed)
 
-    def __call__(self, image: np.ndarray) -> np.ndarray:
+    def __call__(self, image: np.ndarray, rng=None) -> np.ndarray:
+        rng = self._rng if rng is None else rng
         if not isinstance(image, np.ndarray):
             raise TypeError("RandomErasing runs after normalization and expects a numpy array")
-        if float(self._rng.random()) >= self.p:
+        if float(rng.random()) >= self.p:
             return image
         h, w = image.shape[0], image.shape[1]
         area = h * w
         log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
         for _ in range(10):
-            erase_area = area * float(self._rng.uniform(*self.scale))
-            aspect = math.exp(float(self._rng.uniform(*log_ratio)))
+            erase_area = area * float(rng.uniform(*self.scale))
+            aspect = math.exp(float(rng.uniform(*log_ratio)))
             eh = int(round(math.sqrt(erase_area * aspect)))
             ew = int(round(math.sqrt(erase_area / aspect)))
             if eh < h and ew < w and eh > 0 and ew > 0:
-                top = int(self._rng.integers(0, h - eh + 1))
-                left = int(self._rng.integers(0, w - ew + 1))
+                top = int(rng.integers(0, h - eh + 1))
+                left = int(rng.integers(0, w - ew + 1))
                 out = image.copy()
-                out[top : top + eh, left : left + ew] = self._rng.normal(
+                out[top : top + eh, left : left + ew] = rng.normal(
                     size=(eh, ew, image.shape[2])
                 ).astype(image.dtype)
                 return out

@@ -1,3 +1,4 @@
+from ._native import NativeImageFolder, decode_batch, decode_rrc_batch, native_available, native_collate
 from .cifar import CIFAR10, CIFAR100
 from .collate import Mixup
 from .loader import DataLoader, ImageFolder, SyntheticDataset, default_collate, normalize_image, prefetch

@@ -13,7 +13,14 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["decode_batch", "load_native", "native_available"]
+__all__ = [
+    "NativeImageFolder",
+    "decode_batch",
+    "decode_rrc_batch",
+    "load_native",
+    "native_available",
+    "native_collate",
+]
 
 _LIB = None
 _TRIED = False
@@ -49,6 +56,24 @@ def load_native() -> Optional[ctypes.CDLL]:
     ]
     lib.hl_decode_batch.restype = None
     lib.hl_version.restype = ctypes.c_int
+    if lib.hl_version() >= 2:
+        lib.hl_decode_rrc_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.hl_decode_rrc_batch.restype = None
     _LIB = lib
     return _LIB
 
@@ -96,6 +121,57 @@ def decode_batch(
     return out
 
 
+def decode_rrc_batch(
+    jpeg_buffers: Sequence[bytes],
+    out_h: int,
+    out_w: int,
+    scale=(0.08, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+    flip_prob: float = 0.5,
+    seeds: Optional[Sequence[int]] = None,
+    num_threads: int = 8,
+) -> np.ndarray:
+    """JPEG decode + RandomResizedCrop + random horizontal flip, fused in C++.
+
+    The training recipe's front half (reference references/classification/train.py:102-103)
+    on raw bytes: returns a ``(N, out_h, out_w, 3) uint8`` batch ready for the remaining
+    recipe stages (TrivialAugmentWide / normalize / RandomErasing).
+    """
+    lib = load_native()
+    if lib is None or lib.hl_version() < 2:
+        raise RuntimeError("native loader (v2+) is unavailable")
+    n = len(jpeg_buffers)
+    blob = b"".join(jpeg_buffers)
+    offsets = np.zeros(n + 1, dtype=np.uintp)
+    offsets[1:] = np.cumsum([len(b) for b in jpeg_buffers])
+    blob_arr = np.frombuffer(blob, dtype=np.uint8)
+    out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    status = np.zeros(n, dtype=np.int32)
+    if seeds is None:
+        seeds = np.random.default_rng().integers(1, 2**63, size=n, dtype=np.uint64)
+    seeds_arr = np.ascontiguousarray(seeds, dtype=np.uint64)
+    lib.hl_decode_rrc_batch(
+        blob_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        n,
+        out_h,
+        out_w,
+        float(scale[0]),
+        float(scale[1]),
+        float(ratio[0]),
+        float(ratio[1]),
+        float(flip_prob),
+        seeds_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    if status.any():
+        bad = np.nonzero(status)[0]
+        raise ValueError(f"failed to decode JPEG(s) at indices {bad.tolist()}")
+    return out
+
+
 class NativeImageFolder:
     """ImageFolder variant that reads raw JPEG bytes; pair with a DataLoader collate
     built from :func:`decode_batch` for a fully native decode path."""
@@ -119,12 +195,18 @@ class NativeImageFolder:
         return path.read_bytes(), target
 
 
-def native_collate(out_h: int, out_w: int, mean, std, num_threads: int = 8):
-    """Builds a DataLoader collate_fn decoding raw JPEG samples natively."""
+def native_collate(out_h: int, out_w: int, mean, std, center_crop: Optional[int] = None, num_threads: int = 8):
+    """Builds a DataLoader collate_fn decoding raw JPEG samples natively (decode +
+    resize + normalize fused in C++), with an optional center crop — the eval
+    pipeline (reference references/classification/train.py:163-168)."""
 
     def collate(batch: List):
         buffers, targets = zip(*batch)
         x = decode_batch(list(buffers), out_h, out_w, mean, std, num_threads)
+        if center_crop is not None:
+            off_h = (out_h - center_crop) // 2
+            off_w = (out_w - center_crop) // 2
+            x = np.ascontiguousarray(x[:, off_h : off_h + center_crop, off_w : off_w + center_crop])
         return x, np.asarray(targets)
 
     return collate

@@ -153,20 +153,27 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
         if self.num_workers > 1:
-            # per-sample thread parallelism within a batch + a 2-batch lookahead window
-            # so host IO for batch n+1 overlaps the consumer's compute on batch n
+            # Per-sample thread parallelism within a batch + a 2-batch lookahead
+            # window, with the collate ALSO run off the consumer thread (a dedicated
+            # small executor, so batched collates — e.g. the native fused JPEG
+            # decode — pipeline across batches instead of blocking iteration).
             lookahead = 2
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                window: deque = deque()
-                for batch_ids in batches[:lookahead]:
-                    window.append([pool.submit(self.dataset.__getitem__, i) for i in batch_ids])
+            with cf.ThreadPoolExecutor(self.num_workers) as pool, cf.ThreadPoolExecutor(lookahead) as collate_pool:
+
+                def submit(batch_ids):
+                    sample_futs = [pool.submit(self.dataset.__getitem__, i) for i in batch_ids]
+                    return collate_pool.submit(
+                        lambda futs: self.collate_fn([f.result() for f in futs]), sample_futs
+                    )
+
+                window: deque = deque(submit(b) for b in batches[:lookahead])
                 nxt = lookahead
                 while window:
-                    futures = window.popleft()
+                    batch_fut = window.popleft()
                     if nxt < len(batches):
-                        window.append([pool.submit(self.dataset.__getitem__, i) for i in batches[nxt]])
+                        window.append(submit(batches[nxt]))
                         nxt += 1
-                    yield self.collate_fn([f.result() for f in futures])
+                    yield batch_fut.result()
         else:
             for batch_ids in batches:
                 yield self.collate_fn([self.dataset[i] for i in batch_ids])

@@ -58,13 +58,23 @@ def build_datasets(args):
         Resize,
         TrivialAugmentWide,
     )
-    from holocron_tpu.utils.data import CIFAR10, CIFAR100, ImageFolder, SyntheticDataset, normalize_image
+    from holocron_tpu.utils.data import (
+        CIFAR10,
+        CIFAR100,
+        ImageFolder,
+        NativeImageFolder,
+        SyntheticDataset,
+        decode_rrc_batch,
+        native_available,
+        native_collate,
+        normalize_image,
+    )
 
     if args.data_path == "fake":
         shape = (args.train_crop_size, args.train_crop_size, 3)
         train_set = SyntheticDataset(args.fake_samples, shape, args.num_classes)
         val_set = SyntheticDataset(max(args.fake_samples // 4, args.batch_size), shape, args.num_classes, seed=1)
-        return train_set, val_set, [str(i) for i in range(args.num_classes)]
+        return train_set, val_set, [str(i) for i in range(args.num_classes)], None, None
 
     dataset = args.dataset.lower()
     preset = IMAGENETTE if dataset == "imagenette" else CIF10_PRESET
@@ -76,6 +86,51 @@ def build_datasets(args):
     # the recipe every published checkpoint's train_args records
     # (reference references/classification/train.py:100-108)
     if dataset == "imagenette":
+        train_dir, val_dir = Path(args.data_path) / "train", Path(args.data_path) / "val"
+        pil_train = ImageFolder(train_dir)  # directory scan; decides the decode path
+        all_jpeg = all(p.suffix.lower() in {".jpg", ".jpeg"} for p, _ in pil_train.samples)
+        if all_jpeg and not args.no_native and native_available():
+            # Native fast path: JPEG decode + RandomResizedCrop + flip fused in C++
+            # (uint8 out), then the cheap recipe tail (TrivialAugmentWide + normalize
+            # + RandomErasing) thread-pooled over the already-small crops.
+            from concurrent.futures import ThreadPoolExecutor
+
+            taw = TrivialAugmentWide()
+            erase = RandomErasing(p=args.random_erase, scale=(0.02, 0.2))
+            crop = args.train_crop_size
+            mean_arr = np.asarray(mean, np.float32)
+            std_arr = np.asarray(std, np.float32)
+            master_rng = np.random.default_rng(0)
+            pool = ThreadPoolExecutor(args.workers)
+
+            def augment_one(img_and_seed):
+                img, seed = img_and_seed
+                rng = np.random.default_rng(seed)
+                img = taw(img, rng=rng)
+                x = (img.astype(np.float32) / 255.0 - mean_arr) / std_arr
+                if args.random_erase > 0:
+                    x = erase(x, rng=rng)
+                return x
+
+            def train_collate(batch):
+                buffers, ys = zip(*batch)
+                n = len(buffers)
+                seeds = master_rng.integers(1, 2**63, size=2 * n, dtype=np.uint64)
+                x_u8 = decode_rrc_batch(
+                    list(buffers), crop, crop, scale=(0.3, 1.0),
+                    seeds=seeds[:n], num_threads=args.workers,
+                )
+                x = np.stack(list(pool.map(augment_one, zip(x_u8, seeds[n:]))))
+                return np.ascontiguousarray(x), np.asarray(ys)
+
+            val_collate = native_collate(
+                args.val_resize_size, args.val_resize_size, mean, std,
+                center_crop=args.val_crop_size, num_threads=args.workers,
+            )
+            train_set = NativeImageFolder(train_dir)
+            val_set = NativeImageFolder(val_dir)
+            return train_set, val_set, train_set.classes, train_collate, val_collate
+
         train_tf = Compose([
             RandomResizedCrop(args.train_crop_size, scale=(0.3, 1.0)),
             RandomHorizontalFlip(),
@@ -90,9 +145,9 @@ def build_datasets(args):
             off = (args.val_resize_size - args.val_crop_size) // 2
             return arr[off : off + args.val_crop_size, off : off + args.val_crop_size]
 
-        train_set = ImageFolder(Path(args.data_path) / "train", transform=train_tf)
-        val_set = ImageFolder(Path(args.data_path) / "val", transform=val_tf)
-        return train_set, val_set, train_set.classes
+        train_set = ImageFolder(train_dir, transform=train_tf)
+        val_set = ImageFolder(val_dir, transform=val_tf)
+        return train_set, val_set, train_set.classes, None, None
 
     # CIFAR path (reference train.py:111-124): no resizing, flip + TrivialAugmentWide
     cifar = CIFAR100 if dataset == "cifar100" else CIFAR10
@@ -104,7 +159,7 @@ def build_datasets(args):
     ])
     train_set = cifar(args.data_path, train=True, transform=train_tf)
     val_set = cifar(args.data_path, train=False, transform=normalize)
-    return train_set, val_set, train_set.classes
+    return train_set, val_set, train_set.classes, None, None
 
 
 def main(args):
@@ -125,23 +180,27 @@ def main(args):
     from holocron_tpu.trainer import ClassificationTrainer
     from holocron_tpu.utils.data import DataLoader, Mixup
 
-    train_set, val_set, classes = build_datasets(args)
+    from holocron_tpu.utils.data import default_collate
+
+    train_set, val_set, classes, train_collate, val_collate = build_datasets(args)
     num_classes = args.num_classes or len(classes)
 
-    collate = None
+    base_collate = train_collate or default_collate
+    collate = base_collate
     if args.mixup_alpha > 0:
         mix = Mixup(num_classes, alpha=args.mixup_alpha)
-        from holocron_tpu.utils.data import default_collate
 
         def collate(batch):  # noqa: F811
-            x, y = default_collate(batch)
+            x, y = base_collate(batch)
             return mix(x, y)
 
     train_loader = DataLoader(
         train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True,
-        **({"collate_fn": collate} if collate else {}),
+        collate_fn=collate,
     )
-    val_loader = DataLoader(val_set, args.batch_size, num_workers=args.workers)
+    val_loader = DataLoader(
+        val_set, args.batch_size, num_workers=args.workers, collate_fn=val_collate or default_collate
+    )
 
     model = classification.__dict__[args.arch](pretrained=args.pretrained, num_classes=num_classes)
 
@@ -229,6 +288,9 @@ def parse_args():
     group = parser.add_argument_group("Data loading")
     group.add_argument("-b", "--batch-size", default=32, type=int, help="batch size")
     group.add_argument("-j", "--workers", default=8, type=int, help="number of loader threads")
+    group.add_argument(
+        "--no-native", action="store_true", help="disable the native (C++) JPEG decode fast path"
+    )
 
     group = parser.add_argument_group("Transformations")
     group.add_argument("--train-crop-size", default=176, type=int)

@@ -43,3 +43,67 @@ def test_decode_batch_mixed_sizes_and_threads():
 def test_decode_batch_bad_jpeg():
     with pytest.raises(ValueError):
         decode_batch([b"not a jpeg"], 16, 16, (0, 0, 0), (1, 1, 1))
+
+
+def test_decode_rrc_batch_shapes_and_determinism():
+    from holocron_tpu.utils.data._native import decode_rrc_batch
+
+    rng = np.random.default_rng(0)
+    raws = [_jpeg(rng.integers(0, 255, (80 + 16 * i, 100, 3)).astype(np.uint8)) for i in range(4)]
+    seeds = [11, 22, 33, 44]
+    out = decode_rrc_batch(raws, 48, 48, scale=(0.3, 1.0), seeds=seeds, num_threads=2)
+    assert out.shape == (4, 48, 48, 3) and out.dtype == np.uint8
+    # deterministic given seeds
+    out2 = decode_rrc_batch(raws, 48, 48, scale=(0.3, 1.0), seeds=seeds, num_threads=4)
+    np.testing.assert_array_equal(out, out2)
+    # different seeds -> different crops (with overwhelming probability)
+    out3 = decode_rrc_batch(raws, 48, 48, scale=(0.3, 1.0), seeds=[s + 1 for s in seeds])
+    assert not np.array_equal(out, out3)
+
+
+def test_decode_rrc_full_scale_no_flip_matches_plain_resize():
+    # scale=(1,1), ratio pinned to the image's own aspect, flip_prob=0: the crop is
+    # the full image, so the output must equal a plain bilinear resize
+    from holocron_tpu.utils.data._native import decode_rrc_batch
+
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack([(xx / w * 255), (yy / h * 255), ((xx + yy) / (h + w) * 255)], -1).astype(np.uint8)
+    raw = _jpeg(arr)
+    ar = w / h
+    out = decode_rrc_batch([raw], 64, 64, scale=(1.0, 1.0), ratio=(ar, ar), flip_prob=0.0, seeds=[7])
+    ref = decode_batch([raw], 64, 64, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+    np.testing.assert_allclose(out[0].astype(np.float32) / 255.0, ref[0], atol=0.02)
+
+
+def test_decode_rrc_flip_prob_one_mirrors():
+    from holocron_tpu.utils.data._native import decode_rrc_batch
+
+    h, w = 64, 64
+    xx = np.tile(np.arange(w, dtype=np.uint8) * 3, (h, 1))
+    arr = np.stack([xx, xx, xx], -1)
+    raw = _jpeg(arr)
+    ar = 1.0
+    flipped = decode_rrc_batch([raw], 32, 32, scale=(1.0, 1.0), ratio=(ar, ar), flip_prob=1.0, seeds=[5])
+    plain = decode_rrc_batch([raw], 32, 32, scale=(1.0, 1.0), ratio=(ar, ar), flip_prob=0.0, seeds=[5])
+    np.testing.assert_allclose(
+        flipped[0].astype(np.int32), plain[0, :, ::-1].astype(np.int32), atol=2
+    )
+
+
+def test_decode_rrc_crop_areas_respect_scale():
+    # statistically: with scale=(0.9, 1.0), outputs come from >=90% of the image; with
+    # scale=(0.05, 0.1), crops are small -> outputs differ strongly between the two
+    from holocron_tpu.utils.data._native import decode_rrc_batch
+
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+    raw = _jpeg(arr)
+    big = decode_rrc_batch([raw] * 8, 32, 32, scale=(0.99, 1.0), ratio=(1.0, 1.0), flip_prob=0.0,
+                           seeds=list(range(1, 9)))
+    # near-full-image crops at fixed aspect are nearly identical across seeds
+    spread_big = np.abs(big.astype(np.int32) - big[0].astype(np.int32)).mean()
+    small = decode_rrc_batch([raw] * 8, 32, 32, scale=(0.02, 0.05), ratio=(1.0, 1.0), flip_prob=0.0,
+                             seeds=list(range(1, 9)))
+    spread_small = np.abs(small.astype(np.int32) - small[0].astype(np.int32)).mean()
+    assert spread_small > spread_big * 2
