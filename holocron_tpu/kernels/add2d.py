@@ -80,11 +80,31 @@ def _add2d_fwd(patches, weight, interpret):
 
 
 def _add2d_bwd(interpret, residuals, g):
+    """d(-|p - w|)/dp = -sign(p - w), contracted against the cotangent.
+
+    The sign broadcast is ``(L, D, O)`` — materializing it whole is what the forward
+    kernel exists to avoid, so the backward scans over O-chunks sized to a fixed
+    element budget: peak memory is O(L*D + D*O + L*D*chunk) instead of O(L*D*O).
+    """
     patches, weight = residuals
-    # d(-|p - w|)/dp = -sign(p - w); chunk over the output dim to bound the broadcast
-    sign = jnp.sign(patches[:, :, None] - weight[None, :, :])  # (L, D, O)
-    dp = -jnp.einsum("lo,ldo->ld", g, sign)
-    dw = jnp.einsum("lo,ldo->do", g, sign)
+    l, d = patches.shape
+    o = weight.shape[1]
+    budget = 1 << 23  # broadcast elements per scan step (~32 MiB f32)
+    chunk = int(min(o, max(1, budget // max(l * d, 1))))
+    num = -(-o // chunk)
+    o_pad = num * chunk
+    # padded outputs carry g = 0, so they contribute nothing to either gradient
+    w_c = jnp.pad(weight, ((0, 0), (0, o_pad - o))).reshape(d, num, chunk).transpose(1, 0, 2)
+    g_c = jnp.pad(g, ((0, 0), (0, o_pad - o))).reshape(l, num, chunk).transpose(1, 0, 2)
+
+    def body(dp_acc, inp):
+        w_i, g_i = inp  # (D, C), (L, C)
+        sign = jnp.sign(patches[:, :, None] - w_i[None, :, :])  # (L, D, C)
+        dp_acc = dp_acc - jnp.einsum("lc,ldc->ld", g_i, sign)
+        return dp_acc, jnp.einsum("lc,ldc->dc", g_i, sign)
+
+    dp, dw_chunks = jax.lax.scan(body, jnp.zeros((l, d), patches.dtype), (w_c, g_c))
+    dw = dw_chunks.transpose(1, 0, 2).reshape(d, o_pad)[:, :o].astype(weight.dtype)
     return dp, dw
 
 

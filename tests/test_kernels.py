@@ -41,3 +41,55 @@ def test_functional_add2d_pallas_dispatch():
     w = jnp.asarray(rng.normal(size=(3, 3, 3, 4)).astype(np.float32))
     ref = F.add2d(x, w, padding=1, use_pallas=False)
     assert ref.shape == (1, 6, 6, 4)
+
+
+def test_add2d_backward_chunked_matches_dense():
+    """The chunked backward must equal the dense sign contraction (small shape)."""
+    from holocron_tpu.kernels.add2d import add2d_matmul_ad
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(37, 19)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(19, 23)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(37, 23)).astype(np.float32))
+
+    def loss(p_, w_):
+        return jnp.sum(add2d_matmul_ad(p_, w_, True) * g)
+
+    dp, dw = jax.grad(loss, argnums=(0, 1))(p, w)
+    sign = np.sign(np.asarray(p)[:, :, None] - np.asarray(w)[None, :, :])
+    dp_ref = -np.einsum("lo,ldo->ld", np.asarray(g), sign)
+    dw_ref = np.einsum("lo,ldo->do", np.asarray(g), sign)
+    np.testing.assert_allclose(np.asarray(dp), dp_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw), dw_ref, atol=1e-5)
+
+
+def test_add2d_backward_realistic_shape_no_oom():
+    """AdderNet layer-sized backward: L=12544, D=576, O=128 — the dense (L, D, O)
+    sign tensor would be 3.7 GB; the chunked scan must stay in budget and match a
+    low-memory numpy oracle."""
+    from holocron_tpu.kernels.add2d import add2d_matmul_ad
+
+    rng = np.random.default_rng(1)
+    l_dim, d_dim, o_dim = 12544, 576, 128
+    p = jnp.asarray(rng.normal(size=(l_dim, d_dim)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d_dim, o_dim)).astype(np.float32))
+    g_np = rng.normal(size=(l_dim, o_dim)).astype(np.float32)
+    g = jnp.asarray(g_np)
+
+    def loss(p_, w_):
+        return jnp.sum(add2d_matmul_ad(p_, w_, True) * g)
+
+    dp, dw = jax.grad(loss, argnums=(0, 1))(p, w)
+    dp, dw = np.asarray(dp), np.asarray(dw)
+    assert np.isfinite(dp).all() and np.isfinite(dw).all()
+    # numpy oracle over small O-chunks (keeps the oracle itself low-memory)
+    p_np, w_np = np.asarray(p), np.asarray(w)
+    dp_ref = np.zeros_like(p_np)
+    dw_ref = np.zeros_like(w_np)
+    for start in range(0, o_dim, 8):
+        sl = slice(start, start + 8)
+        sign = np.sign(p_np[:, :, None] - w_np[None, :, sl])
+        dp_ref -= np.einsum("lo,ldo->ld", g_np[:, sl], sign)
+        dw_ref[:, sl] = np.einsum("lo,ldo->do", g_np[:, sl], sign)
+    np.testing.assert_allclose(dp, dp_ref, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(dw, dw_ref, rtol=1e-4, atol=1e-3)
