@@ -45,6 +45,9 @@ class Model:
         self._train_fns: Dict[Any, Callable] = {}
         self._input_shape = None
         self._forward_order = None
+        # True once released weights were actually loaded — lets CLIs/tests fail loudly
+        # when pretrained=True silently degraded to default init (e.g. offline)
+        self.pretrained_loaded = False
 
     # ------------------------------------------------------------------
     # initialization

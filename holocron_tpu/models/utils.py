@@ -175,6 +175,7 @@ def load_pretrained_params(
     failure degrades to default initialization with a warning (the same behavior the
     reference has for a ``None`` url).
     """
+    model.pretrained_loaded = False
     if url is None:
         logger.warning("Invalid model URL, using default initialization.")
         return
@@ -199,6 +200,7 @@ def load_pretrained_params(
             model.init((1, 64, 64, 3) if shape is None else (1, *shape.input_shape))
         variables = merge_variables(model.variables, variables)
     model.load_variables(variables)
+    model.pretrained_loaded = True
 
 
 def model_from_hf_hub(repo_id: str, **kwargs: Any) -> Model:

@@ -204,6 +204,12 @@ def main(args):
 
     model = classification.__dict__[args.arch](pretrained=args.pretrained, num_classes=num_classes)
 
+    if args.pretrained and not model.pretrained_loaded:
+        raise SystemExit(
+            "--pretrained was requested but the released weights could not be loaded "
+            "(offline or invalid URL) — refusing to continue with random initialization"
+        )
+
     # label smoothing applies to BOTH soft (Mixup) and hard int targets — the
     # reference passes label_smoothing to CrossEntropyLoss unconditionally
     # (references/classification/train.py:194)

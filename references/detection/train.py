@@ -80,6 +80,11 @@ def main(args):
         pretrained=args.pretrained, pretrained_backbone=args.pretrained_backbone, num_classes=args.num_classes
     )
     model.max_boxes = max_boxes
+    if args.pretrained and not model.pretrained_loaded:
+        raise SystemExit(
+            "--pretrained was requested but the released weights could not be loaded "
+            "(offline or invalid URL) — refusing to continue with random initialization"
+        )
 
     opt = {
         "adamw": lambda lr: __import__("optax").adamw(lr, weight_decay=args.weight_decay),

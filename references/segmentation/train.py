@@ -69,6 +69,11 @@ def main(args):
     model = segmentation.__dict__[args.arch](
         pretrained=args.pretrained, num_classes=args.num_classes
     )
+    if args.pretrained and not model.pretrained_loaded:
+        raise SystemExit(
+            "--pretrained was requested but the released weights could not be loaded "
+            "(offline or invalid URL) — refusing to continue with random initialization"
+        )
 
     # class weighting: downweight background (reference segmentation/train.py:199-208)
     weight = jnp.ones(args.num_classes).at[0].set(args.bg_factor) if args.bg_factor != 1 else None

@@ -104,3 +104,18 @@ def test_conv_sequence_attention_and_drop():
     assert out.shape == (1, 8, 8, 4)
     out_t = cs.apply(v, x, train=True, rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"])[0]
     assert out_t.shape == (1, 8, 8, 4)
+
+
+def test_pretrained_loaded_flag():
+    """pretrained=True degrading to default init must be detectable: the Model
+    carries pretrained_loaded=False when the download failed/was skipped
+    (reference contrast: holocron/models/utils.py:89-113 only logs a warning)."""
+    from holocron_tpu.models import repvgg_a0
+    from holocron_tpu.models.utils import load_pretrained_params
+
+    model = repvgg_a0()
+    assert model.pretrained_loaded is False
+    load_pretrained_params(model, url=None)
+    assert model.pretrained_loaded is False
+    load_pretrained_params(model, url="https://invalid.invalid/nope.pth")
+    assert model.pretrained_loaded is False
