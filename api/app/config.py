@@ -10,3 +10,5 @@ NUM_CLASSES: int = int(os.environ.get("HOLOCRON_NUM_CLASSES", "10"))
 CHECKPOINT: str = os.environ.get("HOLOCRON_CHECKPOINT", "")
 HOST: str = os.environ.get("API_HOST", "0.0.0.0")
 PORT: int = int(os.environ.get("API_PORT", "8050"))
+MAX_BATCH: int = int(os.environ.get("HOLOCRON_MAX_BATCH", "8"))
+BATCH_WAIT_MS: float = float(os.environ.get("HOLOCRON_BATCH_WAIT_MS", "5"))

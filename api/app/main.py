@@ -11,7 +11,8 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from . import config
-from .vision import classify_image
+from .routes import classification
+from .schemas import Status
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -27,7 +28,8 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802
         t0 = time.time()
         if self.path == "/status":
-            self._send(200, {"status": "ok", "project": config.PROJECT_NAME, "version": config.VERSION}, t0)
+            payload = Status(status="ok", project=config.PROJECT_NAME, version=config.VERSION)
+            self._send(200, payload.model_dump(), t0)
         else:
             self._send(404, {"detail": "Not Found"}, t0)
 
@@ -52,11 +54,11 @@ class Handler(BaseHTTPRequestHandler):
             self._send(422, {"detail": "no image payload"}, t0)
             return
         try:
-            label, confidence = classify_image(data)
+            candidate = classification.classify(data)
         except Exception as e:  # decoding / inference failure
             self._send(400, {"detail": f"invalid image: {e}"}, t0)
             return
-        self._send(200, {"value": label, "confidence": confidence}, t0)
+        self._send(200, candidate.model_dump(), t0)
 
     def log_message(self, fmt, *log_args):  # quiet
         pass
@@ -73,19 +75,20 @@ def create_fastapi_app():
 
     from fastapi import FastAPI, File, HTTPException, UploadFile
 
+    from .schemas import ClsCandidate
+
     app = FastAPI(title=config.PROJECT_NAME, description=config.PROJECT_DESCRIPTION, version=config.VERSION)
 
-    @app.get("/status")
+    @app.get("/status", response_model=Status)
     def status():
-        return {"status": "ok", "project": config.PROJECT_NAME, "version": config.VERSION}
+        return Status(status="ok", project=config.PROJECT_NAME, version=config.VERSION)
 
-    @app.post("/classification")
+    @app.post("/classification", response_model=ClsCandidate)
     async def classify(file: UploadFile = File(...)):
         try:
-            label, confidence = classify_image(await file.read())
+            return classification.classify(await file.read())
         except Exception as e:
             raise HTTPException(status_code=400, detail=f"invalid image: {e}") from e
-        return {"value": label, "confidence": confidence}
 
     @app.middleware("http")
     async def add_process_time(request, call_next):

@@ -1,0 +1,16 @@
+"""Classification route logic, shared by the stdlib and FastAPI servers.
+
+Analog of the reference's api/app/routes/classification.py:15-23 (decode ->
+preprocess -> run -> top candidate), with requests flowing through the micro-batcher.
+"""
+
+from ..schemas import ClsCandidate
+from ..vision import classify_image
+
+__all__ = ["classify"]
+
+
+def classify(img_data: bytes) -> ClsCandidate:
+    """Runs one encoded image through the batched model and returns the top candidate."""
+    label, confidence = classify_image(img_data)
+    return ClsCandidate(value=label, confidence=confidence)

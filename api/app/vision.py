@@ -34,6 +34,7 @@ def load_model(arch: str = config.ARCH, num_classes: int = config.NUM_CLASSES):
 
 
 MODEL = None
+BATCHER = None
 CLASSES: List[str] = IMAGENETTE.classes
 
 
@@ -42,6 +43,23 @@ def get_model():
     if MODEL is None:
         MODEL = load_model()
     return MODEL
+
+
+def get_batcher():
+    """Micro-batcher over the jitted model: concurrent requests coalesce into one
+    padded device call (power-of-two buckets, see api/app/batcher.py)."""
+    global BATCHER
+    if BATCHER is None:
+        from .batcher import MicroBatcher
+
+        model = get_model()
+
+        def infer(batch: np.ndarray) -> np.ndarray:
+            logits = model(jnp.asarray(batch))
+            return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+        BATCHER = MicroBatcher(infer, max_batch=config.MAX_BATCH, max_wait_ms=config.BATCH_WAIT_MS)
+    return BATCHER
 
 
 def decode_image(img_data: bytes):
@@ -83,10 +101,8 @@ def preprocess_bytes(img_data: bytes):
 
 
 def classify_image(img_data: bytes) -> Tuple[str, float]:
-    model = get_model()
-    x = preprocess_bytes(img_data)
-    logits = model(x)
-    probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+    x = np.asarray(preprocess_bytes(img_data))
+    probs = get_batcher().submit(x)
     idx = int(probs.argmax())
     label = CLASSES[idx] if idx < len(CLASSES) else str(idx)
     return label, float(probs[idx])

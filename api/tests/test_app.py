@@ -69,3 +69,83 @@ def test_classification_bad_payload(server):
 def test_unknown_route(server):
     status, _, _ = _request(server, "GET", "/nope")
     assert status == 404
+
+
+def test_classification_schema_validation(server):
+    """The response round-trips through the pydantic schema (confidence in [0, 1])."""
+    from PIL import Image
+
+    from api.app.schemas import ClsCandidate
+
+    img = Image.fromarray(np.random.default_rng(1).integers(0, 255, (64, 64, 3)).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    status, payload, _ = _request(
+        server, "POST", "/classification", body=buf.getvalue(), headers={"Content-Type": "image/jpeg"}
+    )
+    assert status == 200
+    candidate = ClsCandidate(**payload)  # raises if the schema is violated
+    assert candidate.confidence <= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ClsCandidate(value="x", confidence=1.5)
+
+
+def test_concurrent_requests_micro_batch(server):
+    """Concurrent requests coalesce in the micro-batcher and all succeed."""
+    import concurrent.futures as cf
+
+    from PIL import Image
+
+    def one(seed):
+        img = Image.fromarray(np.random.default_rng(seed).integers(0, 255, (64, 64, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        return _request(server, "POST", "/classification", body=buf.getvalue(),
+                        headers={"Content-Type": "image/jpeg"})
+
+    with cf.ThreadPoolExecutor(6) as pool:
+        results = list(pool.map(one, range(6)))
+    assert all(status == 200 for status, _, _ in results)
+    assert all(0 <= payload["confidence"] <= 1 for _, payload, _ in results)
+
+
+def test_micro_batcher_unit():
+    """Batcher coalesces, buckets to powers of two, and maps results back in order."""
+    import threading
+    import time as _time
+
+    from api.app.batcher import MicroBatcher
+
+    calls = []
+    lock = threading.Lock()
+
+    def infer(batch):
+        with lock:
+            calls.append(batch.shape[0])
+        _time.sleep(0.01)
+        return batch.reshape(batch.shape[0], -1)[:, :3] * 2
+
+    b = MicroBatcher(infer, max_batch=4, max_wait_ms=30)
+    xs = [np.full((2, 2, 3), i, np.float32) for i in range(6)]
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(6) as pool:
+        outs = list(pool.map(b.submit, xs))
+    for i, out in enumerate(outs):
+        np.testing.assert_allclose(out, np.full(3, 2 * i, np.float32))
+    assert all(c in (1, 2, 4) for c in calls)  # power-of-two buckets
+    assert any(c > 1 for c in calls)  # coalescing actually happened
+
+
+def test_micro_batcher_error_propagation():
+    from api.app.batcher import MicroBatcher
+
+    def broken(batch):
+        raise RuntimeError("boom")
+
+    b = MicroBatcher(broken, max_batch=2, max_wait_ms=1)
+    with pytest.raises(RuntimeError):
+        b.submit(np.zeros((2, 2, 3), np.float32))

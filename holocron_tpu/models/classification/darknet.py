@@ -6,7 +6,7 @@ Reference: holocron/models/classification/darknet.py. No normalization by defaul
 """
 
 from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -6,7 +6,7 @@ Bottle2neck: 1x1 widen -> ScaleConv2d (multi-scale cascaded splits) -> 1x1 proje
 
 from enum import Enum
 from math import floor
-from typing import Any, Callable, Optional, Union
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...nn.init import kaiming_normal
 from ..checkpoints import Checkpoint, _handle_legacy_pretrained
 from ..core import Model
 from ..layers import BatchNorm2d, avg_pool2d, max_pool2d

@@ -12,7 +12,7 @@ NMS. On TPU everything must be static-shaped:
 """
 
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

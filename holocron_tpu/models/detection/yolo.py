@@ -7,15 +7,13 @@ padded ground truth (SURVEY.md hard part #1); NMS is the fixed-size masked
 implementation in ``_utils``.
 """
 
-from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...nn.init import kaiming_normal
 from ..classification.darknet import DarknetBodyV1, leaky_relu_01
 from ..classification.darknet import default_cfgs as dark_cfgs
 from ..core import Model

@@ -15,7 +15,6 @@ from ...nn.functional import concat_downsample2d
 from ...nn.init import kaiming_normal
 from ..classification.darknetv2 import DarknetBodyV2, leaky_relu_01
 from ..classification.darknetv2 import Darknet19_Checkpoint
-from ..core import Model
 from ..layers import FrozenBatchNorm2d
 from ..utils import ConvSequence, load_pretrained_params
 from .yolo import DetectionModel, yolo_v12_losses

@@ -12,7 +12,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...nn.init import kaiming_normal
 from ...nn.modules.downsample import SPP
 from ...nn.modules.dropblock import DropBlock2d
 from ...ops.boxes import ciou_loss

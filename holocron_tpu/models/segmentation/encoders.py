@@ -7,7 +7,7 @@ backbone checkpoints load onto them).
 """
 
 from math import ceil
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ...nn.init import kaiming_normal
 from ..core import Model
-from ..layers import BatchNorm2d, max_pool2d
+from ..layers import max_pool2d
 from ..utils import ConvSequence, load_pretrained_params
 from .unet import DownPath, upsample2d
 

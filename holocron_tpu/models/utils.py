@@ -6,7 +6,6 @@ Reference: holocron/models/utils.py.
 
 import json
 import logging
-import os
 from pathlib import Path
 from typing import Any, Callable, Optional, Tuple, Union
 

@@ -13,7 +13,7 @@ Reference semantics (cited per function) are matched exactly up to layout.
 """
 
 from math import ceil
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -8,3 +8,26 @@ from .lars import LARS, lars
 from .ralars import RaLars, ralars
 from .tadam import TAdam, tadam
 from .wrapper import Lookahead, Scout, lookahead, scout
+
+__all__ = [
+    "AdEMAMix",
+    "AdaBelief",
+    "AdamP",
+    "Adan",
+    "LAMB",
+    "LARS",
+    "Lookahead",
+    "RaLars",
+    "Scout",
+    "TAdam",
+    "adabelief",
+    "adamp",
+    "adan",
+    "ademamix",
+    "lamb",
+    "lars",
+    "lookahead",
+    "ralars",
+    "scout",
+    "tadam",
+]

@@ -7,7 +7,6 @@ from shardings — but explicit versions are useful for hand-scheduled steps.
 """
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["psum", "pmean", "all_gather", "ppermute", "reduce_scatter", "axis_index", "axis_size"]
 

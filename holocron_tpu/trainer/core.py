@@ -18,7 +18,7 @@ Reference: holocron/trainer/core.py. The single-GPU stateful loop becomes:
 import math
 from collections import deque
 from pathlib import Path
-from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ import optax
 from flax import serialization
 
 from ..models.core import Model
-from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from ..parallel.mesh import batch_sharding, create_mesh
 from .utils import freeze_model, split_normalization_params
 
 __all__ = ["Trainer"]

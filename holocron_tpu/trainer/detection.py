@@ -5,10 +5,8 @@ localization / classification / detection error rates. Assignment runs on host n
 eval time (it is inherently dynamic-shaped); the training loss stays fully jitted.
 """
 
-import math
 from typing import Dict, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

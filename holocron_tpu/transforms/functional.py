@@ -8,7 +8,7 @@ pipelined.
 """
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

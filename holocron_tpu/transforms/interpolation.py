@@ -7,7 +7,7 @@ device-side preprocessing (dtype/normalize) being fused into the jitted step.
 
 from enum import Enum
 from math import sqrt
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Optional, Tuple
 
 import numpy as np
 
