@@ -1,9 +1,13 @@
 from . import collectives
 from .mesh import batch_sharding, create_mesh, replicated, shard_batch
+from .multihost import hybrid_mesh, initialize, num_slices
 
 __all__ = [
     "batch_sharding",
     "create_mesh",
+    "hybrid_mesh",
+    "initialize",
+    "num_slices",
     "replicated",
     "shard_batch",
 ]
