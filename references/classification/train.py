@@ -10,7 +10,6 @@ Pass ``fake`` as data_path to train on a synthetic dataset (smoke runs / CI).
 import argparse
 import datetime
 import time
-from functools import partial
 from pathlib import Path
 
 import numpy as np

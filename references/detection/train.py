@@ -28,30 +28,48 @@ def build_datasets(args):
             SyntheticDataset(max(args.fake_samples // 4, args.batch_size), shape, args.num_classes, task="detection", seed=1),
         )
 
+    import sys
+
     from PIL import Image
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from transforms import (
+        Compose as BoxCompose,
+        RandomHorizontalFlip as BoxFlip,
+        Resize as BoxResize,
+        convert_to_relative,
+    )
 
     mean, std = IMAGENETTE.mean, IMAGENETTE.std
     resize = Resize((args.img_size, args.img_size))
+    # box-aware train augmentation (reference references/detection/train.py uses the
+    # same Compose/Resize/flip stack from its transforms module)
+    train_tf = BoxCompose([BoxResize((args.img_size, args.img_size)), BoxFlip(p=0.5)])
+    val_tf = BoxResize((args.img_size, args.img_size))
 
     class DetFolder:
-        def __init__(self, root):
+        def __init__(self, root, tf):
             self.images = sorted((Path(root) / "images").glob("*"))
             self.labels = {p.stem: p for p in (Path(root) / "labels").glob("*.json")}
+            self.tf = tf
 
         def __len__(self):
             return len(self.images)
 
         def __getitem__(self, idx):
-            img = Image.open(self.images[idx]).convert("RGB")
+            img = np.asarray(Image.open(self.images[idx]).convert("RGB"))
             meta = json.loads(self.labels[self.images[idx].stem].read_text())
-            arr = normalize_image(resize(img), mean, std)
             target = {
-                "boxes": np.asarray(meta["boxes"], np.float32).reshape(-1, 4),
+                # stored relative [0, 1]; box transforms work in absolute pixels
+                "boxes": np.asarray(meta["boxes"], np.float32).reshape(-1, 4)
+                * np.asarray([img.shape[1], img.shape[0]] * 2, np.float32),
                 "labels": np.asarray(meta["labels"], np.int64),
             }
-            return arr, target
+            img, target = self.tf(img, target)
+            img, target = convert_to_relative(img, target)
+            return normalize_image(img, mean, std), target
 
-    return DetFolder(Path(args.data_path) / "train"), DetFolder(Path(args.data_path) / "val")
+    return DetFolder(Path(args.data_path) / "train", train_tf), DetFolder(Path(args.data_path) / "val", val_tf)
 
 
 def main(args):
@@ -86,11 +104,16 @@ def main(args):
             "(offline or invalid URL) — refusing to continue with random initialization"
         )
 
+    import optax
+
+    wd = args.weight_decay
     opt = {
-        "adamw": lambda lr: __import__("optax").adamw(lr, weight_decay=args.weight_decay),
-        "adamp": lambda lr: optim.adamp(lr, weight_decay=args.weight_decay),
-        "tadam": lambda lr: optim.tadam(lr, weight_decay=args.weight_decay),
-        "radam": lambda lr: __import__("optax").radam(lr),
+        "adamw": lambda lr, weight_decay=wd: optax.adamw(lr, weight_decay=weight_decay),
+        "adamp": lambda lr, weight_decay=wd: optim.adamp(lr, weight_decay=weight_decay),
+        "tadam": lambda lr, weight_decay=wd: optim.tadam(lr, weight_decay=weight_decay),
+        "radam": lambda lr, weight_decay=wd: optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.radam(lr, b1=0.95, b2=0.99, eps=1e-6)
+        ),
     }[args.opt]
 
     trainer = DetectionTrainer(
@@ -106,18 +129,31 @@ def main(args):
     )
     if args.resume:
         trainer.load(args.resume)
+    if args.find_lr:
+        trainer.find_lr(args.freeze_until, num_it=min(len(train_loader), 100), norm_weight_decay=args.norm_wd)
+        for lr, loss in zip(trainer.lr_recorder, trainer.loss_recorder):
+            print(f"lr={lr:.2e} loss={loss:.4f}")
+        return
     if args.check_setup:
-        losses = trainer.check_setup(args.freeze_until, args.lr, num_it=10)
+        losses = trainer.check_setup(args.freeze_until, args.lr, norm_weight_decay=args.norm_wd, num_it=10)
         print(f"overfit-one-batch losses: {losses[0]:.4f} -> {losses[-1]:.4f}")
         return
     if args.test_only:
         print(trainer._eval_metrics_str(trainer.evaluate()))
         return
 
+    if args.wb:
+        import wandb
+
+        run = wandb.init(name=args.name, project="holocron-tpu-detection", config=vars(args))
+        trainer.on_epoch_end = lambda metrics: run.log(metrics)
+
     print(f"Training {args.arch} for {args.epochs} epochs")
     start_time = time.time()
-    trainer.fit_n_epochs(args.epochs, args.lr, args.freeze_until, args.sched)
+    trainer.fit_n_epochs(args.epochs, args.lr, args.freeze_until, args.sched, norm_weight_decay=args.norm_wd)
     print(f"Training time {datetime.timedelta(seconds=int(time.time() - start_time))}")
+    if args.wb:
+        run.finish()
 
 
 def parse_args():
@@ -145,8 +181,12 @@ def parse_args():
     parser.add_argument("--opt", default="tadam", type=str)
     parser.add_argument("--sched", default="onecycle", type=str)
     parser.add_argument("--wd", "--weight-decay", default=0, type=float, dest="weight_decay")
+    parser.add_argument("--norm-wd", default=None, type=float, help="weight decay of norm parameters")
+    parser.add_argument("--find-lr", action="store_true")
     parser.add_argument("--check-setup", action="store_true")
     parser.add_argument("--test-only", action="store_true")
+    parser.add_argument("--wb", action="store_true", help="log to Weights & Biases")
+    parser.add_argument("--name", type=str, default=None)
     return parser.parse_args()
 
 

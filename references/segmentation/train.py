@@ -17,7 +17,7 @@ import numpy as np
 
 def build_datasets(args):
     from holocron_tpu.models.presets import IMAGENETTE
-    from holocron_tpu.transforms import Resize, ResizeMethod
+    from holocron_tpu.transforms import Resize
     from holocron_tpu.utils.data import SyntheticDataset, normalize_image
 
     if args.data_path == "fake":
@@ -91,11 +91,16 @@ def main(args):
     else:
         raise ValueError(f"unsupported loss: {args.loss}")
 
+    import optax
+
+    wd = args.weight_decay
     opt = {
-        "adamw": lambda lr: __import__("optax").adamw(lr, weight_decay=args.weight_decay),
-        "adamp": lambda lr: optim.adamp(lr, weight_decay=args.weight_decay),
-        "radam": lambda lr: __import__("optax").radam(lr),
-        "adabelief": lambda lr: optim.adabelief(lr, weight_decay=args.weight_decay),
+        "adamw": lambda lr, weight_decay=wd: optax.adamw(lr, weight_decay=weight_decay),
+        "adamp": lambda lr, weight_decay=wd: optim.adamp(lr, weight_decay=weight_decay),
+        "radam": lambda lr, weight_decay=wd: optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.radam(lr, b1=0.95, b2=0.99, eps=1e-6)
+        ),
+        "adabelief": lambda lr, weight_decay=wd: optim.adabelief(lr, weight_decay=weight_decay),
     }[args.opt]
 
     trainer = SegmentationTrainer(
@@ -112,22 +117,30 @@ def main(args):
     if args.resume:
         trainer.load(args.resume)
     if args.find_lr:
-        trainer.find_lr(args.freeze_until, num_it=min(len(train_loader), 100))
+        trainer.find_lr(args.freeze_until, num_it=min(len(train_loader), 100), norm_weight_decay=args.norm_wd)
         for lr, loss in zip(trainer.lr_recorder, trainer.loss_recorder):
             print(f"lr={lr:.2e} loss={loss:.4f}")
         return
     if args.check_setup:
-        losses = trainer.check_setup(args.freeze_until, args.lr, num_it=20)
+        losses = trainer.check_setup(args.freeze_until, args.lr, norm_weight_decay=args.norm_wd, num_it=20)
         print(f"overfit-one-batch losses: {losses[0]:.4f} -> {losses[-1]:.4f}")
         return
     if args.test_only:
         print(trainer._eval_metrics_str(trainer.evaluate()))
         return
 
+    if args.wb:
+        import wandb
+
+        run = wandb.init(name=args.name, project="holocron-tpu-segmentation", config=vars(args))
+        trainer.on_epoch_end = lambda metrics: run.log(metrics)
+
     print(f"Training {args.arch} for {args.epochs} epochs")
     start_time = time.time()
-    trainer.fit_n_epochs(args.epochs, args.lr, args.freeze_until, args.sched)
+    trainer.fit_n_epochs(args.epochs, args.lr, args.freeze_until, args.sched, norm_weight_decay=args.norm_wd)
     print(f"Training time {datetime.timedelta(seconds=int(time.time() - start_time))}")
+    if args.wb:
+        run.finish()
 
 
 def parse_args():
@@ -154,9 +167,12 @@ def parse_args():
     parser.add_argument("--wd", "--weight-decay", default=0, type=float, dest="weight_decay")
     parser.add_argument("--loss", default="crossentropy", type=str, choices=["crossentropy", "focal", "dice"])
     parser.add_argument("--bg-factor", default=1.0, type=float, help="background class weight")
+    parser.add_argument("--norm-wd", default=None, type=float, help="weight decay of norm parameters")
     parser.add_argument("--find-lr", action="store_true")
     parser.add_argument("--check-setup", action="store_true")
     parser.add_argument("--test-only", action="store_true")
+    parser.add_argument("--wb", action="store_true", help="log to Weights & Biases")
+    parser.add_argument("--name", type=str, default=None)
     return parser.parse_args()
 
 
