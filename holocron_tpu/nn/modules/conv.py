@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import functional as F
-from ..functional import _pair, extract_patches2d
+from ..functional import _pair
 from ..init import kaiming_normal
 
 __all__ = ["Add2d", "Involution2d", "NormConv2d", "PyConv2d", "SlimConv2d"]
