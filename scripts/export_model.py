@@ -19,16 +19,37 @@ import numpy as np
 
 
 def build_forward(args):
+    """Builds the exportable forward for any task family.
+
+    Detection exports include the full post-processing (objectness filter + score
+    threshold + top-k + masked NMS — all pure XLA, holocron_tpu/models/detection/
+    _utils.py:74), returning fixed-size {boxes, scores, labels, keep} arrays — the
+    static-shape analog of the reference's ONNX detection export
+    (tests/test_models_detection.py:79-93).
+    """
     from holocron_tpu import models
+    from holocron_tpu.models import detection as det_pkg
 
     model = models.__dict__[args.arch](num_classes=args.num_classes)
-    model.init((1, args.size, args.size, 3))
+    model.init((args.batch, args.size, args.size, 3))
     if hasattr(model.module, "reparametrize"):
         model.reparametrize()
     module, variables = model.module, model.variables
 
-    def fwd(x):
-        return module.apply(variables, x, train=False)
+    if args.arch in det_pkg.__dict__ and hasattr(model, "max_boxes"):
+        from holocron_tpu.models.detection._utils import post_process
+
+        nms_thresh = getattr(module, "rpn_nms_thresh", 0.7)
+        score_thresh = getattr(module, "box_score_thresh", 0.05)
+
+        def fwd(x):
+            boxes, b_o, b_scores = module.apply(variables, x, train=False)
+            return post_process(boxes, b_o, b_scores, nms_thresh, score_thresh)
+
+    else:
+
+        def fwd(x):
+            return module.apply(variables, x, train=False)
 
     example = jnp.zeros((args.batch, args.size, args.size, 3), jnp.float32)
     return fwd, example, model
@@ -41,11 +62,10 @@ def main(args):
     if args.format == "stablehlo":
         exported = jax.export.export(jax.jit(fwd))(example)
         out_path.write_bytes(exported.serialize())
-        # round-trip check
+        # round-trip check (tree-aware: detection returns a dict of padded arrays)
         restored = jax.export.deserialize(out_path.read_bytes())
-        np.testing.assert_allclose(
-            np.asarray(restored.call(example)), np.asarray(fwd(example)), atol=1e-5
-        )
+        for got, ref in zip(jax.tree.leaves(restored.call(example)), jax.tree.leaves(fwd(example))):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
     elif args.format == "savedmodel":
         import tensorflow as tf
         from jax.experimental import jax2tf
