@@ -5,6 +5,6 @@ NHWC/bfloat16 Flax models, pure-function losses, optax-style optimizers, a jitte
 mesh-sharded trainer, and Pallas kernels on the hot paths.
 """
 
-from . import models, nn, ops, optim, parallel, trainer, transforms, utils
+from . import models, nn, ops, optim, parallel, quant, trainer, transforms, utils
 
 __version__ = "0.1.0.dev0"

@@ -29,9 +29,18 @@ def main(args):
     if args.dtype == "bfloat16":
         variables = jax.tree.map(lambda t: t.astype(jnp.bfloat16), variables)
     module = model.module
-    fwd = jax.jit(lambda v, x: module.apply(v, x, train=False))
-
     x = jax.random.normal(jax.random.key(0), (args.batch, args.size, args.size, 3), dtype)
+
+    if args.quantize:
+        from holocron_tpu.quant import quantize_model
+
+        qm = quantize_model(model, calibration_batches=[x])
+        qm.variables = variables  # keep the non-quantized remainder in the bench dtype
+        qparams = qm.qparams
+        qfwd = qm.apply_fn()
+        fwd = jax.jit(lambda v, inp: qfwd(v, qparams, inp))
+    else:
+        fwd = jax.jit(lambda v, inp: module.apply(v, inp, train=False))
     for _ in range(args.warmup):
         out = fwd(variables, x)
     jax.device_get(out)
@@ -65,6 +74,11 @@ def parse_args():
     parser.add_argument("--it", type=int, default=100, help="number of timed iterations")
     parser.add_argument("--warmup", type=int, default=10, help="number of warmup iterations")
     parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument(
+        "--quantize",
+        action="store_true",
+        help="selective int8 PTQ (per-channel weights, calibrated activations) — see holocron_tpu/quant.py",
+    )
     return parser.parse_args()
 
 

@@ -301,7 +301,6 @@ def test_detection_trainer_end_to_end():
     from holocron_tpu.models.detection.yolo import DetectionModel
     from holocron_tpu.models.detection.yolov2 import YOLOv2
     from holocron_tpu.trainer import DetectionTrainer
-    from holocron_tpu.utils.data import default_collate
 
     rng = np.random.default_rng(0)
 
