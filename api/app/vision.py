@@ -30,6 +30,12 @@ def load_model(arch: str = config.ARCH, num_classes: int = config.NUM_CLASSES):
         model.load_variables(jax.tree.map(jnp.asarray, state.get("model", state)))
     if hasattr(model.module, "reparametrize"):
         model.reparametrize()
+    if config.QUANTIZE:
+        # dynamic per-request activation scales: no calibration set exists at serving
+        # time, and the extra per-conv reduction fuses into the conv (docs/PERF.md)
+        from holocron_tpu.quant import quantize_model
+
+        return quantize_model(model)
     return model
 
 

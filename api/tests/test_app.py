@@ -140,6 +140,23 @@ def test_micro_batcher_unit():
     assert any(c > 1 for c in calls)  # coalescing actually happened
 
 
+def test_load_model_quantized(monkeypatch):
+    """HOLOCRON_QUANTIZE=1 serves the selective-int8 deploy form."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from holocron_tpu.quant import QuantizedModel
+
+    from api.app import config, vision
+
+    monkeypatch.setattr(config, "QUANTIZE", True)
+    model = vision.load_model("repvgg_a0", 10)
+    assert isinstance(model, QuantizedModel)
+    out = np.asarray(model(np.random.default_rng(0).normal(size=(1, 224, 224, 3)).astype(np.float32)))
+    assert out.shape == (1, 10)
+    assert np.isfinite(out).all()
+
+
 def test_micro_batcher_error_propagation():
     from api.app.batcher import MicroBatcher
 

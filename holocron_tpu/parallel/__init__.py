@@ -1,4 +1,5 @@
 from . import collectives
+from .inference import shard_inference
 from .mesh import batch_sharding, create_mesh, replicated, shard_batch
 from .multihost import hybrid_mesh, initialize, num_slices
 
@@ -10,4 +11,5 @@ __all__ = [
     "num_slices",
     "replicated",
     "shard_batch",
+    "shard_inference",
 ]

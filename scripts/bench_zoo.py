@@ -40,7 +40,8 @@ DETECTION = ["yolov1", "yolov2", "yolov4"]
 SIZES = {"classification": 224, "segmentation": 256, "detection": 416}
 
 
-def bench_one(arch: str, task: str, batch: int, size: int, dtype, it: int, warmup: int) -> dict:
+def bench_one(arch: str, task: str, batch: int, size: int, dtype, it: int, warmup: int,
+              quantize: bool = False) -> dict:
     from holocron_tpu import models
 
     model = models.__dict__[arch](dtype=dtype)
@@ -52,9 +53,18 @@ def bench_one(arch: str, task: str, batch: int, size: int, dtype, it: int, warmu
     if dtype == jnp.bfloat16:
         variables = jax.tree.map(lambda t: t.astype(jnp.bfloat16), variables)
     module = model.module
-    fwd = jax.jit(lambda v, x: module.apply(v, x, train=False))
-
     x = jax.random.normal(jax.random.key(0), (batch, size, size, 3), dtype)
+
+    if quantize:
+        from holocron_tpu.quant import quantize_model
+
+        qm = quantize_model(model, calibration_batches=[x])
+        qm.variables = variables
+        qparams = qm.qparams
+        qfwd = qm.apply_fn()
+        fwd = jax.jit(lambda v, inp: qfwd(v, qparams, inp))
+    else:
+        fwd = jax.jit(lambda v, inp: module.apply(v, inp, train=False))
     t0 = time.perf_counter()
     for _ in range(warmup):
         out = fwd(variables, x)
@@ -96,7 +106,10 @@ def main(args):
     for arch, task in plan:
         size = args.size or SIZES[task]
         try:
-            row = bench_one(arch, task, args.batch, size, dtype, args.it, args.warmup)
+            row = bench_one(arch, task, args.batch, size, dtype, args.it, args.warmup,
+                            quantize=args.quantize)
+            if args.quantize:
+                row["quantized"] = True
         except Exception as e:  # noqa: BLE001 — keep sweeping on per-arch failure
             row = {"arch": arch, "task": task, "error": f"{type(e).__name__}: {e}"}
             traceback.print_exc()
@@ -117,6 +130,7 @@ def parse_args():
     p.add_argument("--it", type=int, default=100)
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--quantize", action="store_true", help="selective int8 PTQ (holocron_tpu.quant)")
     p.add_argument("--out", default=None, help="append JSONL results here")
     return p.parse_args()
 

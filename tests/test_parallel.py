@@ -128,3 +128,30 @@ def test_initialize_single_process_noop():
 
     initialize()  # no coordinator configured: must be a harmless no-op
     assert jax.process_count() == 1
+
+
+def test_shard_inference_matches_single_device():
+    """8-way data-parallel inference reproduces the single-device logits, for both the
+    plain model and the selective-int8 QuantizedModel, with and without head TP."""
+    from holocron_tpu.models.classification.repvgg import RepVGG
+    from holocron_tpu.models.core import Model
+    from holocron_tpu.parallel import shard_inference
+    from holocron_tpu.quant import quantize_model
+
+    model = Model(RepVGG([1, 1], [8, 16], 1.0, 2.0, num_classes=8))
+    model.init((16, 32, 32, 3))
+    model.reparametrize()
+    x = jax.random.normal(jax.random.key(0), (16, 32, 32, 3))
+    ref = model(x)
+
+    fwd_dp = shard_inference(model)  # default ("data",) mesh over all 8 devices
+    np.testing.assert_allclose(np.asarray(fwd_dp(x)), np.asarray(ref), atol=1e-5)
+
+    mesh2 = create_mesh(axes=("data", "model"), model_parallel=2)
+    fwd_tp = shard_inference(model, mesh2, head_tensor_parallel=True)
+    np.testing.assert_allclose(np.asarray(fwd_tp(x)), np.asarray(ref), atol=1e-5)
+
+    qm = quantize_model(model, calibration_batches=[x], min_in_channels=1)
+    ref_q = qm(x)
+    fwd_q = shard_inference(qm)
+    np.testing.assert_allclose(np.asarray(fwd_q(x)), np.asarray(ref_q), atol=1e-5)
