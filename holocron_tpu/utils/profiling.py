@@ -19,7 +19,10 @@ __all__ = ["device_op_summary", "trace_device_ops"]
 
 def trace_device_ops(trace_dir: str) -> Dict[str, float]:
     """Parses a ``jax.profiler`` trace directory -> {op_name: total_duration_us} over
-    the device's "XLA Ops" timeline."""
+    the device's "XLA Ops" timeline.
+
+    TPU-oriented: CPU-platform traces carry no "XLA Ops" timeline, so the result is
+    empty there — micro-benchmarks must run on the real chip."""
     traces = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")
     if not traces:
         raise FileNotFoundError(f"no trace under {trace_dir} (profiling unsupported here?)")
