@@ -58,8 +58,16 @@ def _conv_geometry(m: nn.Conv, n_spatial: int):
 
 def _is_quantizable_conv(module, method_name: str) -> bool:
     # type(...) is nn.Conv rather than isinstance: nn.ConvLocal etc. subclasses have
-    # different kernel semantics
-    return type(module) is nn.Conv and method_name == "__call__"
+    # different kernel semantics. Convs using linen features the int8 replacement
+    # does not implement (input dilation, weight masks) fall through untouched.
+    if type(module) is not nn.Conv or method_name != "__call__":
+        return False
+    input_dilation = getattr(module, "input_dilation", None)
+    if input_dilation is not None:
+        dils = (input_dilation,) if isinstance(input_dilation, int) else tuple(input_dilation)
+        if any(d != 1 for d in dils):
+            return False
+    return getattr(module, "mask", None) is None
 
 
 def _path_key(path: Tuple[str, ...]) -> str:

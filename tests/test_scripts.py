@@ -1,0 +1,49 @@
+"""Smoke tests for the bench/export tooling scripts (reference analog:
+scripts/eval_latency.py — SURVEY.md §2h). Runs each CLI in-process with tiny shapes."""
+
+import json
+import runpy
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run(script: str, argv) -> None:
+    old = sys.argv
+    sys.argv = [script, *argv]
+    try:
+        runpy.run_path(str(ROOT / "scripts" / script), run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_eval_latency_smoke(capsys):
+    _run("eval_latency.py", ["repvgg_a0", "--batch", "1", "--size", "32", "--it", "2", "--warmup", "1"])
+    out = capsys.readouterr().out
+    assert "images/sec" in out and "repvgg_a0" in out
+
+
+def test_eval_latency_quantize_smoke(capsys):
+    _run(
+        "eval_latency.py",
+        ["repvgg_a0", "--batch", "1", "--size", "32", "--it", "2", "--warmup", "1", "--quantize"],
+    )
+    assert "images/sec" in capsys.readouterr().out
+
+
+def test_bench_zoo_and_table(tmp_path, capsys):
+    out_file = tmp_path / "zoo.jsonl"
+    _run(
+        "bench_zoo.py",
+        ["--archs", "repvgg_a0", "--batch", "1", "--size", "32", "--it", "2", "--warmup", "1",
+         "--out", str(out_file)],
+    )
+    rows = [json.loads(line) for line in out_file.read_text().splitlines()]
+    assert rows and rows[0]["arch"] == "repvgg_a0" and rows[0]["img_per_sec"] > 0
+    assert rows[0]["params_m"] > 0
+    capsys.readouterr()
+
+    _run("gen_bench_table.py", [str(out_file)])
+    table = capsys.readouterr().out
+    assert "| repvgg_a0 |" in table and "3.14" in table  # reference GPU column present
