@@ -112,7 +112,7 @@ def test_calibrate_records_per_conv_absmax():
     assert scales["c2"] > 0.0
 
 
-@pytest.mark.parametrize("arch", ["repvgg_a0", "mobileone_s0", "resnet18"])
+@pytest.mark.parametrize("arch", ["repvgg_a0", "mobileone_s0", "resnet18", "unet"])
 def test_quantized_zoo_forward_close(arch):
     from holocron_tpu import models
 
