@@ -34,7 +34,25 @@ def build_forward(args):
     model.init((args.batch, args.size, args.size, 3))
     if hasattr(model.module, "reparametrize"):
         model.reparametrize()
+
     module, variables = model.module, model.variables
+
+    if getattr(args, "quantize", False):
+        # selective-int8 artifact (holocron_tpu/quant.py): the int8 kernels + scales
+        # are baked into the exported graph as constants, dynamic activation scales
+        from holocron_tpu.quant import quantize_model
+
+        qm = quantize_model(model)
+        qfwd_quant = qm.apply_fn()
+        variables_q, qparams = qm.variables, qm.qparams
+
+        def base_fwd(x):
+            return qfwd_quant(variables_q, qparams, x)
+
+    else:
+
+        def base_fwd(x):
+            return module.apply(variables, x, train=False)
 
     if args.arch in det_pkg.__dict__ and hasattr(model, "max_boxes"):
         from holocron_tpu.models.detection._utils import post_process
@@ -43,13 +61,11 @@ def build_forward(args):
         score_thresh = getattr(module, "box_score_thresh", 0.05)
 
         def fwd(x):
-            boxes, b_o, b_scores = module.apply(variables, x, train=False)
+            boxes, b_o, b_scores = base_fwd(x)
             return post_process(boxes, b_o, b_scores, nms_thresh, score_thresh)
 
     else:
-
-        def fwd(x):
-            return module.apply(variables, x, train=False)
+        fwd = base_fwd
 
     example = jnp.zeros((args.batch, args.size, args.size, 3), jnp.float32)
     return fwd, example, model
@@ -93,6 +109,11 @@ def parse_args():
     parser.add_argument("--size", type=int, default=224, help="input size")
     parser.add_argument("--batch", type=int, default=1, help="batch size")
     parser.add_argument("--num-classes", type=int, default=10, help="number of classes")
+    parser.add_argument(
+        "--quantize",
+        action="store_true",
+        help="export the selective-int8 form (int8 weights baked into the artifact)",
+    )
     return parser.parse_args()
 
 

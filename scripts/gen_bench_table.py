@@ -67,4 +67,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("jsonl")
     p.add_argument("--quant", default=None, help="JSONL from bench_zoo.py --quantize")
-    main(p.parse_args())
+    try:
+        main(p.parse_args())
+    except BrokenPipeError:  # `| head` is a normal way to use this
+        pass

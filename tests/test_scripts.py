@@ -32,6 +32,14 @@ def test_eval_latency_quantize_smoke(capsys):
     assert "images/sec" in capsys.readouterr().out
 
 
+def test_export_quantized_stablehlo(tmp_path):
+    """--quantize bakes int8 kernels into the StableHLO artifact; the script's own
+    round-trip check asserts deserialized outputs match the live quantized forward."""
+    out = tmp_path / "m.stablehlo"
+    _run("export_model.py", ["repvgg_a0", "--size", "32", "--quantize", "--output", str(out)])
+    assert out.stat().st_size > 1_000_000  # int8 weights present (f32 would be ~4x)
+
+
 def test_bench_zoo_and_table(tmp_path, capsys):
     out_file = tmp_path / "zoo.jsonl"
     _run(
