@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""End-to-end HTTP serving latency bench.
+
+Spins the stdlib inference service in-process (api/app/main.py), fires warm
+sequential `POST /classification` requests with a synthetic JPEG, and reports
+median/p90 end-to-end latency plus the server-reported X-Process-Time. The TPU-native
+counterpart of timing the reference's ONNXRuntime FastAPI route (SURVEY.md §3.5).
+
+Usage:
+    python scripts/bench_serving.py --arch repvgg_a0 --n 50 [--quantize]
+"""
+
+import argparse
+import http.client
+import io
+import json
+import os
+import statistics
+import threading
+import time
+
+
+def main(args):
+    if args.quantize:
+        os.environ["HOLOCRON_QUANTIZE"] = "1"
+    os.environ["HOLOCRON_ARCH"] = args.arch
+
+    import numpy as np
+    from PIL import Image
+
+    from api.app.main import serve
+
+    srv = serve("127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (args.size, args.size, 3)).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=85)
+    payload = buf.getvalue()
+
+    def one():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        t0 = time.perf_counter()
+        conn.request("POST", "/classification", body=payload, headers={"Content-Type": "image/jpeg"})
+        resp = conn.getresponse()
+        body = resp.read()
+        dt = (time.perf_counter() - t0) * 1e3
+        proc = float(resp.getheader("X-Process-Time") or 0) * 1e3
+        conn.close()
+        assert resp.status == 200, body
+        return dt, proc
+
+    for _ in range(args.warmup):
+        one()
+    e2e, proc = zip(*(one() for _ in range(args.n)))
+    result = {
+        "arch": args.arch,
+        "quantized": bool(args.quantize),
+        "n": args.n,
+        "e2e_ms_p50": round(statistics.median(e2e), 2),
+        "e2e_ms_p90": round(sorted(e2e)[int(0.9 * len(e2e))], 2),
+        "server_ms_p50": round(statistics.median(proc), 2),
+    }
+    print(json.dumps(result))
+    srv.shutdown()
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--arch", default="repvgg_a0")
+    p.add_argument("--size", type=int, default=224, help="source image side before server resize")
+    p.add_argument("--n", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--quantize", action="store_true")
+    main(p.parse_args())
