@@ -40,6 +40,13 @@ def test_export_quantized_stablehlo(tmp_path):
     assert out.stat().st_size > 1_000_000  # int8 weights present (f32 would be ~4x)
 
 
+def test_bench_serving_smoke(capsys):
+    _run("bench_serving.py", ["--arch", "repvgg_a0", "--n", "2", "--warmup", "1", "--size", "64"])
+    out = capsys.readouterr().out
+    row = json.loads(out.strip().splitlines()[-1])
+    assert row["arch"] == "repvgg_a0" and row["e2e_ms_p50"] > 0
+
+
 def test_bench_zoo_and_table(tmp_path, capsys):
     out_file = tmp_path / "zoo.jsonl"
     _run(
