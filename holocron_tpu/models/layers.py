@@ -77,9 +77,16 @@ class BatchNorm2d(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
 
         if train:
+            # One-pass batch stats: E[x2] - E[x]2 lets XLA fuse both reductions into a
+            # single sweep over the activations — measured 2x faster than the
+            # sequential mean-then-var form, saving ~0.4 ms fwd+bwd per BN at RepVGG
+            # stage-0 shapes (docs/PERF.md "BN batch stats"). f32 accumulation keeps
+            # the cancellation error ~1e-4 relative even at mean/std = 16; clamped at
+            # 0 so rsqrt never sees a negative from rounding.
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.var(xf, axis=(0, 1, 2))
+            mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = x.size / c
                 m = self.momentum
