@@ -59,9 +59,13 @@ def get_batcher():
         from .batcher import MicroBatcher
 
         model = get_model()
+        # const-weights deploy forward where available: XLA bakes the weights into
+        # the executable, measured +7% bf16 / +27% int8 (docs/PERF.md). Weights are
+        # final at serving time, so the snapshot semantics are safe here.
+        fwd = model.deploy_forward() if hasattr(model, "deploy_forward") else model
 
         def infer(batch: np.ndarray) -> np.ndarray:
-            logits = model(jnp.asarray(batch))
+            logits = fwd(jnp.asarray(batch))
             return np.asarray(jax.nn.softmax(logits, axis=-1))
 
         BATCHER = MicroBatcher(infer, max_batch=config.MAX_BATCH, max_wait_ms=config.BATCH_WAIT_MS)

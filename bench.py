@@ -45,8 +45,10 @@ def main() -> None:
     module = model.module
     x = jax.random.normal(jax.random.key(0), (batch, 224, 224, 3), jnp.bfloat16)
 
-    fwd = jax.jit(lambda v, a: module.apply(v, a, train=False))
-    bf16_ips = _throughput(fwd, (variables, x), batch)
+    # weights closed over the jit as constants (Model.deploy_forward rationale):
+    # XLA pre-tiles/folds them into the executable — measured +7% over args
+    fwd = jax.jit(lambda a: module.apply(variables, a, train=False))
+    bf16_ips = _throughput(fwd, (x,), batch)
 
     # Selective-int8 deploy form; never allowed to take down the headline number.
     int8_ips = 0.0

@@ -115,6 +115,23 @@ class Model:
             self._eval_fn = jax.jit(lambda variables, inp: module.apply(variables, inp, train=False))
         return self._eval_fn(self.variables, x)
 
+    def deploy_forward(self) -> Callable:
+        """Returns an eval forward with the CURRENT variables baked into the jit as
+        compile-time constants.
+
+        XLA folds constant weights into the executable (pre-tiled layouts, folded
+        scale chains): measured +7% on bf16 RepVGG-A0 batch-256 inference and +27%
+        on the selective-int8 form vs passing weights as runtime arguments
+        (docs/PERF.md). The trade-offs vs ``model(x)``: weights are snapshotted (a
+        later ``load_variables``/``reparametrize``/train forward does NOT update the
+        returned fn — call again for a fresh snapshot) and the executable owns a
+        second copy of the weights in HBM. Use for serving/benching, not training.
+        """
+        if self.variables is None:
+            raise RuntimeError("initialize the model first (run a forward or .init())")
+        module, variables = self.module, self.variables
+        return jax.jit(lambda inp: module.apply(variables, inp, train=False))
+
     # ------------------------------------------------------------------
     # parameter access
     # ------------------------------------------------------------------

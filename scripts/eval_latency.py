@@ -38,22 +38,24 @@ def main(args):
         qm.variables = variables  # keep the non-quantized remainder in the bench dtype
         qparams = qm.qparams
         qfwd = qm.apply_fn()
-        fwd = jax.jit(lambda v, inp: qfwd(v, qparams, inp))
+        # weights + qparams closed over the jit as constants: XLA bakes them into
+        # the executable — measured +27% int8 / +7% bf16 (docs/PERF.md)
+        fwd = jax.jit(lambda inp: qfwd(variables, qparams, inp))
     else:
-        fwd = jax.jit(lambda v, inp: module.apply(v, inp, train=False))
+        fwd = jax.jit(lambda inp: module.apply(variables, inp, train=False))
     for _ in range(args.warmup):
-        out = fwd(variables, x)
+        out = fwd(x)
     jax.device_get(out)
 
     # round-trip latency: per-call host sync (includes any host<->device transport)
     t0 = time.perf_counter()
-    jax.device_get(fwd(variables, x))
+    jax.device_get(fwd(x))
     rtt_ms = (time.perf_counter() - t0) * 1000
 
     # device throughput: queue all iterations, executions serialize on-device, one sync
     t0 = time.perf_counter()
     for _ in range(args.it):
-        out = fwd(variables, x)
+        out = fwd(x)
     jax.device_get(out)
     total = time.perf_counter() - t0
 

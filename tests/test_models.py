@@ -119,3 +119,30 @@ def test_pretrained_loaded_flag():
     assert model.pretrained_loaded is False
     load_pretrained_params(model, url="https://invalid.invalid/nope.pth")
     assert model.pretrained_loaded is False
+
+
+def test_deploy_forward_matches_call_and_snapshots():
+    """deploy_forward bakes the current weights in as jit constants (serving fast
+    path, docs/PERF.md): it must match model(x) exactly, and must NOT track later
+    weight mutations (snapshot semantics by contract)."""
+    from holocron_tpu.models import repvgg_a0
+
+    model = repvgg_a0(num_classes=7)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    ref = np.asarray(model(x))
+    fwd = model.deploy_forward()
+    # constant folding re-associates the arithmetic: tiny f32 drift is expected
+    np.testing.assert_allclose(np.asarray(fwd(x)), ref, rtol=2e-4)
+
+    # mutate weights: the snapshot must stay put, a fresh deploy_forward must follow
+    model.load_variables(jax.tree.map(lambda t: t * 0 if t.dtype.kind == "f" else t, model.variables))
+    np.testing.assert_allclose(np.asarray(fwd(x)), ref, rtol=2e-4)
+    fresh = model.deploy_forward()(x)
+    assert not np.allclose(np.asarray(fresh), np.asarray(ref))
+
+
+def test_deploy_forward_requires_init():
+    from holocron_tpu.models import repvgg_a0
+
+    with pytest.raises(RuntimeError):
+        repvgg_a0().deploy_forward()
