@@ -62,18 +62,20 @@ def bench_one(arch: str, task: str, batch: int, size: int, dtype, it: int, warmu
         qm.variables = variables
         qparams = qm.qparams
         qfwd = qm.apply_fn()
-        fwd = jax.jit(lambda v, inp: qfwd(v, qparams, inp))
+        # weights/qparams as jit constants — the deploy protocol (docs/PERF.md):
+        # XLA bakes them into the executable (+27% int8 / +7% bf16 vs args)
+        fwd = jax.jit(lambda inp: qfwd(variables, qparams, inp))
     else:
-        fwd = jax.jit(lambda v, inp: module.apply(v, inp, train=False))
+        fwd = jax.jit(lambda inp: module.apply(variables, inp, train=False))
     t0 = time.perf_counter()
     for _ in range(warmup):
-        out = fwd(variables, x)
+        out = fwd(x)
     jax.device_get(out)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(it):
-        out = fwd(variables, x)
+        out = fwd(x)
     jax.device_get(out)  # queued dispatch; executions serialize on-device
     total = time.perf_counter() - t0
 
