@@ -20,6 +20,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compilation cache: the suite is compile-bound on this 1-core box
+# (~46 min cold); cached re-runs skip identical XLA compiles entirely
+_cache_dir = os.environ.get("HOLOCRON_TEST_CACHE", "/tmp/holocron_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 
