@@ -62,7 +62,12 @@ def get_batcher():
         # const-weights deploy forward where available: XLA bakes the weights into
         # the executable, measured +7% bf16 / +27% int8 (docs/PERF.md). Weights are
         # final at serving time, so the snapshot semantics are safe here.
-        fwd = model.deploy_forward() if hasattr(model, "deploy_forward") else model
+        # HOLOCRON_CONST_WEIGHTS=0 opts out (cold-start compile of the const form
+        # is minutes through a remote-compile tunnel).
+        import os
+
+        use_const = os.environ.get("HOLOCRON_CONST_WEIGHTS", "1") == "1"
+        fwd = model.deploy_forward() if use_const and hasattr(model, "deploy_forward") else model
 
         def infer(batch: np.ndarray) -> np.ndarray:
             logits = fwd(jnp.asarray(batch))
@@ -104,7 +109,10 @@ def preprocess_bytes(img_data: bytes):
 
         if native_available():
             try:
-                return jnp.asarray(decode_batch([img_data], 224, 224, IMAGENETTE.mean, IMAGENETTE.std))
+                # stays a HOST array: the micro-batcher's jitted call is the single
+                # device round trip per request — an eager device_put here costs two
+                # extra tunnel RTTs (~60 ms, measured via scripts/bench_serving.py)
+                return decode_batch([img_data], 224, 224, IMAGENETTE.mean, IMAGENETTE.std)
             except ValueError:
                 pass  # corrupt JPEG: let PIL try (it may still raise)
     return preprocess_image(decode_image(img_data))

@@ -40,8 +40,8 @@ def main(args):
     img.save(buf, format="JPEG", quality=85)
     payload = buf.getvalue()
 
-    def one():
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    def one(timeout=300):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
         t0 = time.perf_counter()
         conn.request("POST", "/classification", body=payload, headers={"Content-Type": "image/jpeg"})
         resp = conn.getresponse()
@@ -52,7 +52,10 @@ def main(args):
         assert resp.status == 200, body
         return dt, proc
 
-    for _ in range(args.warmup):
+    # first request compiles the const-weights deploy forward — minutes through
+    # the remote-compile tunnel (docs/PERF.md), seconds on a normal TPU host
+    one(timeout=1200)
+    for _ in range(args.warmup - 1):
         one()
     e2e, proc = zip(*(one() for _ in range(args.n)))
     result = {

@@ -7,7 +7,6 @@ docs/PERF.md comes from these trace parsers — they deserve their own coverage.
 import gzip
 import json
 
-import jax
 import jax.numpy as jnp
 import pytest
 
