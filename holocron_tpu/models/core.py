@@ -126,6 +126,8 @@ class Model:
         later ``load_variables``/``reparametrize``/train forward does NOT update the
         returned fn — call again for a fresh snapshot) and the executable owns a
         second copy of the weights in HBM. Use for serving/benching, not training.
+        Gains are arch-dependent (parity to +112%, docs/PERF.md); remote-compile
+        setups cap the constant-laden HLO size (~400 MB ≈ 100M f32 params).
         """
         if self.variables is None:
             raise RuntimeError("initialize the model first (run a forward or .init())")
