@@ -80,13 +80,18 @@ class BatchNorm2d(nn.Module):
             # One-pass batch stats: E[x2] - E[x]2 lets XLA fuse both reductions into a
             # single sweep over the activations — measured 2x faster than the
             # sequential mean-then-var form, saving ~0.4 ms fwd+bwd per BN at RepVGG
-            # stage-0 shapes (docs/PERF.md "BN batch stats"). f32 accumulation keeps
-            # the cancellation error ~1e-4 relative even at mean/std = 16; clamped at
-            # 0 so rsqrt never sees a negative from rounding.
+            # stage-0 shapes (docs/PERF.md "BN batch stats"). The inputs are shifted
+            # by the running mean first (a per-channel constant, fused into the same
+            # sweep): the cancellation error of E[x2]-E[x]2 grows ~(mean/std)^2, and
+            # in steady training mean(x)-running_mean ~ 0, so the shifted form is
+            # well-conditioned regardless of the raw activation mean. Clamped at 0
+            # so rsqrt never sees a negative from rounding.
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
-            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            shift = ra_mean.value
+            xs = xf - shift
+            mean_s = jnp.mean(xs, axis=(0, 1, 2))
+            var = jnp.maximum(jnp.mean(jnp.square(xs), axis=(0, 1, 2)) - jnp.square(mean_s), 0.0)
+            mean = mean_s + shift
             if not self.is_initializing():
                 n = x.size / c
                 m = self.momentum

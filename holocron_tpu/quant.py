@@ -16,7 +16,9 @@ Design (no model code changes — works on ANY linen model in the zoo):
   computed **dynamically** per call (one extra reduction per conv).
 - **Compute**: ``conv(int8, int8) -> int32`` accumulation on the MXU
   (``preferred_element_type=jnp.int32``), then a float requantize
-  ``y * (s_x * s_w / 127^2) + bias`` fused by XLA into the conv epilogue.
+  ``y = acc * (s_x * s_w) + bias`` fused by XLA into the conv epilogue, where
+  ``s_x = absmax(x)/127`` and ``s_w = absmax(K)/127`` already carry the /127
+  factors (i.e. in raw abs-maxes: ``acc * absmax_x * absmax_w / 127^2``).
 
 The quantized forward runs through the *original module* with the conv calls
 intercepted, so architecture code never needs a quantized variant.
@@ -181,7 +183,9 @@ def _quantized_conv(m: nn.Conv, x: jax.Array, qrec: Dict[str, jax.Array], act_sc
     if act_scale is None:  # dynamic per-tensor scale: one extra reduction
         s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / QINT_MAX
     else:
-        s_x = jnp.float32(act_scale) / QINT_MAX
+        # clamp like the dynamic path: an all-zero calibration input (dead
+        # channel block) would otherwise make s_x=0 and x/s_x = inf/NaN
+        s_x = jnp.maximum(jnp.float32(act_scale), 1e-12) / QINT_MAX
     x_q = jnp.clip(jnp.round(xf / s_x), -QINT_MAX, QINT_MAX).astype(jnp.int8)
 
     dn = lax.conv_dimension_numbers(x_q.shape, kernel_q.shape, ("NHWC", "HWIO", "NHWC"))
@@ -207,14 +211,45 @@ class QuantizedModel:
 
     Built by :func:`quantize_model`; usable exactly like ``Model`` for eval forwards
     (``qmodel(x)``). ``module``/``variables``/``qparams``/``act_scales`` expose the
-    functional pieces for custom jit.
+    functional pieces for custom jit. Reassigning any of them invalidates the cached
+    jitted forward (qparams are baked into the executable as constants, so the cache
+    must be rebuilt to observe new values).
     """
 
     def __init__(self, module, variables, qparams, act_scales: Optional[Dict[str, float]]):
         self.module = module
-        self.variables = variables
-        self.qparams = qparams
-        self.act_scales = act_scales
+        self._variables = variables
+        self._qparams = qparams
+        self._act_scales = act_scales
+        self._eval_fn = None
+
+    # qparams/act_scales are jit constants and variables feed the cached fn:
+    # reassignment must drop the stale executable (ADVICE r2)
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, value):
+        self._variables = value
+        self._eval_fn = None
+
+    @property
+    def qparams(self):
+        return self._qparams
+
+    @qparams.setter
+    def qparams(self, value):
+        self._qparams = value
+        self._eval_fn = None
+
+    @property
+    def act_scales(self):
+        return self._act_scales
+
+    @act_scales.setter
+    def act_scales(self, value):
+        self._act_scales = value
         self._eval_fn = None
 
     def apply_fn(self):
@@ -244,6 +279,19 @@ class QuantizedModel:
             # as runtime arguments (bench.py protocol, RepVGG-A0 batch 128/256)
             self._eval_fn = jax.jit(lambda v, a: fwd(v, qparams, a))
         return self._eval_fn(self.variables, x)
+
+    def deploy_forward(self) -> "jax.stages.Wrapped":
+        """Returns a quantized eval forward with variables AND qparams baked into
+        the jit as compile-time constants — the full const-weights deploy protocol
+        (same trade-offs as :meth:`Model.deploy_forward`: snapshot semantics, a
+        second weight copy in HBM, ~400 MB HLO cap on remote-compile setups).
+
+        ``__call__`` only bakes the qparams; the float remainder (BN-folded biases,
+        unquantized convs, head) still travels as runtime arguments. Serving paths
+        that want the measured const win should use this.
+        """
+        fwd, variables, qparams = self.apply_fn(), self.variables, self.qparams
+        return jax.jit(lambda x: fwd(variables, qparams, x))
 
 
 def quantize_model(

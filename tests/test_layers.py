@@ -40,6 +40,33 @@ def test_batchnorm_matches_torch_train_and_eval():
     np.testing.assert_allclose(np.asarray(out), t_out, atol=1e-5)
 
 
+def test_batchnorm_one_pass_conditioning():
+    """The shifted one-pass variance must stay accurate when mean >> std (the raw
+    E[x2]-E[x]2 form loses ~all precision at mean/std ~ 1e4 in f32) once the running
+    mean has tracked the activation mean — the steady-training regime."""
+    rng = np.random.default_rng(0)
+    x = (1e4 + rng.normal(size=(8, 6, 6, 3))).astype(np.float32)
+    bn = BatchNorm2d()
+    variables = bn.init(jax.random.key(0), jnp.asarray(x), train=False)
+    # steady state: running mean has converged to the activation mean
+    variables = {
+        "params": variables["params"],
+        "batch_stats": {
+            "mean": jnp.full((3,), 1e4, jnp.float32),
+            "var": variables["batch_stats"]["var"],
+        },
+    }
+    out, _ = bn.apply(variables, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    out = np.asarray(out)
+    # two-pass reference in float64
+    x64 = x.astype(np.float64)
+    mean = x64.mean(axis=(0, 1, 2))
+    var = x64.var(axis=(0, 1, 2))
+    ref = (x64 - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(out, ref, atol=1e-2)
+    assert abs(out.std() - 1.0) < 0.05  # unshifted one-pass collapses this to ~0 or blows up
+
+
 def test_frozen_batchnorm_ignores_train():
     x = jax.random.normal(jax.random.key(0), (2, 4, 4, 3))
     fbn = FrozenBatchNorm2d()
