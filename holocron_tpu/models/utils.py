@@ -160,31 +160,74 @@ def fuse_conv_bn(
     return fused_kernel, fused_bias
 
 
+def _download_checkpoint(url: str, sha256: Optional[str] = None, progress: bool = True) -> Path:
+    """Downloads ``url`` into the local checkpoint cache (torch-free analog of
+    ``torch.hub.load_state_dict_from_url``), verifying ``sha256`` when given.
+
+    Cache dir: ``$HOLOCRON_CACHE_DIR`` or ``~/.cache/holocron_tpu/checkpoints``.
+    """
+    import hashlib
+    import os
+    import tempfile
+    import urllib.parse
+    import urllib.request
+
+    cache_dir = Path(
+        os.environ.get("HOLOCRON_CACHE_DIR", Path.home() / ".cache" / "holocron_tpu")
+    ) / "checkpoints"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    dest = cache_dir / Path(urllib.parse.urlparse(url).path).name
+    if not dest.exists():
+        if progress:
+            logger.info(f"Downloading {url} to {dest}")
+        fd, tmp = tempfile.mkstemp(dir=cache_dir)
+        try:
+            with urllib.request.urlopen(url) as r, os.fdopen(fd, "wb") as f:
+                while chunk := r.read(1 << 20):
+                    f.write(chunk)
+            os.replace(tmp, dest)
+        except BaseException:
+            Path(tmp).unlink(missing_ok=True)
+            raise
+    if sha256:
+        digest = hashlib.sha256(dest.read_bytes()).hexdigest()
+        if digest != sha256:
+            dest.unlink()
+            raise ValueError(f"checkpoint hash mismatch for {url}: {digest} != {sha256}")
+    return dest
+
+
 def load_pretrained_params(
     model: Model,
     url: Optional[str] = None,
     progress: bool = True,
     key_replacement: Optional[Tuple[str, str]] = None,
     key_filter: Optional[str] = None,
+    sha256: Optional[str] = None,
 ) -> None:
     """Loads a released torch checkpoint into a :class:`Model`, converting the state
     dict to the NHWC/Flax variable tree.
 
-    Reference: holocron/models/utils.py:89-113. In offline environments the download
-    failure degrades to default initialization with a warning (the same behavior the
-    reference has for a ``None`` url).
+    Fully torch-free: the ``.pth`` bytes are parsed by :mod:`._pth_reader` (zip or
+    legacy ``torch.save`` format), so ``pretrained=True`` works with this package's
+    own dependency set. Reference: holocron/models/utils.py:89-113. In offline
+    environments the download failure degrades to default initialization with a
+    warning (the same behavior the reference has for a ``None`` url).
     """
     model.pretrained_loaded = False
     if url is None:
         logger.warning("Invalid model URL, using default initialization.")
         return
     try:
-        import torch
+        from ._pth_reader import read_pth
 
-        state_dict = torch.hub.load_state_dict_from_url(url, progress=progress, map_location="cpu")
+        path = _download_checkpoint(url, sha256=sha256, progress=progress)
+        state_dict = read_pth(path)
     except Exception as e:  # zero-egress environments
         logger.warning(f"Could not download checkpoint from {url} ({e}), using default initialization.")
         return
+    if isinstance(state_dict, dict) and "model" in state_dict and not any("." in k for k in state_dict):
+        state_dict = state_dict["model"]  # trainer checkpoint not stripped by clean_checkpoint.py
     if isinstance(key_filter, str):
         state_dict = {k: v for k, v in state_dict.items() if k.startswith(key_filter)}
     if isinstance(key_replacement, tuple):
@@ -218,11 +261,9 @@ def model_from_hf_hub(repo_id: str, **kwargs: Any) -> Model:
     if model.default_cfg is None:
         model.default_cfg = _checkpoint_from_hub_config(cfg)
 
-    import torch
+    from ._pth_reader import read_pth
 
-    state_dict = torch.load(
-        hf_hub_download(repo_id, filename="pytorch_model.bin", **kwargs), map_location="cpu"
-    )
+    state_dict = read_pth(hf_hub_download(repo_id, filename="pytorch_model.bin", **kwargs))
     from ._torch_convert import convert_state_dict
 
     model.load_variables(convert_state_dict(model, state_dict))
@@ -234,7 +275,13 @@ def _configure_model(model: Model, checkpoint: Optional[Checkpoint], progress: b
     (holocron/models/utils.py:178-188)."""
     model.default_cfg = checkpoint
     if isinstance(checkpoint, Checkpoint):
-        load_pretrained_params(model, checkpoint.meta.url, progress=progress)
+        sha = checkpoint.meta.sha256
+        load_pretrained_params(
+            model,
+            checkpoint.meta.url,
+            progress=progress,
+            sha256=sha if isinstance(sha, str) and len(sha) == 64 else None,
+        )
     return model
 
 

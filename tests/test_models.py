@@ -121,6 +121,25 @@ def test_pretrained_loaded_flag():
     assert model.pretrained_loaded is False
 
 
+def test_pretrained_real_zoo_checkpoint_torch_free():
+    """Network-gated: the released repvgg_a0 .pth loads through the torch-free
+    reader and verifies against the Checkpoint sha256 (VERDICT r2 item 1)."""
+    import socket
+
+    try:
+        socket.create_connection(("github.com", 443), timeout=5).close()
+    except OSError:
+        pytest.skip("no network")
+    from holocron_tpu.models import repvgg_a0
+
+    model = repvgg_a0(pretrained=True)
+    assert model.pretrained_loaded is True
+    x = jax.random.normal(jax.random.key(0), (1, 224, 224, 3))
+    out = model(x)
+    assert out.shape[-1] == len(model.default_cfg.meta.categories)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_deploy_forward_matches_call_and_snapshots():
     """deploy_forward bakes the current weights in as jit constants (serving fast
     path, docs/PERF.md): it must match model(x) exactly, and must NOT track later

@@ -1,0 +1,195 @@
+"""Torch-free ``.pth`` reader tests: byte-level round trips against ``torch.save``
+(both serialization formats), the end-to-end ``pretrained=True`` path via a
+``file://`` URL, and the no-torch-at-runtime guarantee (subprocess with torch
+import-blocked).
+
+torch is used only to PRODUCE fixtures — the read path under test never touches it.
+"""
+
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holocron_tpu.models._pth_reader import read_pth
+
+torch = pytest.importorskip("torch")
+
+
+def _sample_state():
+    g = torch.Generator().manual_seed(0)
+    return {
+        "w": torch.randn(3, 4, generator=g),
+        "i64": torch.arange(5, dtype=torch.int64),
+        "bf16": torch.randn(2, 2, generator=g).to(torch.bfloat16),
+        "scalar": torch.tensor(3.14),
+        "noncontig": torch.randn(4, 6, generator=g).t(),
+        "u8": torch.randint(0, 255, (7,), dtype=torch.uint8, generator=g),
+        "bool": torch.tensor([True, False]),
+        "f16": torch.randn(3, generator=g).half(),
+        "param": torch.nn.Parameter(torch.randn(2, 3, generator=g)),
+        "nested": {"x": torch.randn(2, generator=g)},
+        "lst": [torch.randn(1, generator=g), 5, "str"],
+    }
+
+
+@pytest.mark.parametrize("legacy", [False, True], ids=["zip", "legacy"])
+def test_read_pth_round_trip(tmp_path, legacy):
+    sd = _sample_state()
+    path = tmp_path / "ckpt.pth"
+    torch.save(sd, path, _use_new_zipfile_serialization=not legacy)
+    out = read_pth(path)
+
+    def check(got, ref):
+        if ref.dtype == torch.bfloat16:
+            np.testing.assert_array_equal(np.asarray(got, np.float32), ref.float().numpy())
+        else:
+            np.testing.assert_array_equal(np.asarray(got), ref.detach().numpy())
+
+    for key in ("w", "i64", "bf16", "scalar", "noncontig", "u8", "bool", "f16", "param"):
+        check(out[key], sd[key])
+    check(out["nested"]["x"], sd["nested"]["x"])
+    check(out["lst"][0], sd["lst"][0])
+    assert out["lst"][1:] == [5, "str"]
+    # contiguity: the strided (transposed) tensor must come back dense
+    assert out["noncontig"].flags["C_CONTIGUOUS"]
+
+
+def test_read_pth_module_state_dict(tmp_path):
+    m = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 8, 3), torch.nn.BatchNorm2d(8), torch.nn.Linear(10, 10)
+    )
+    path = tmp_path / "m.pth"
+    torch.save(m.state_dict(), path)
+    out = read_pth(path)
+    assert set(out) == set(m.state_dict())
+    for k, v in m.state_dict().items():
+        np.testing.assert_array_equal(out[k], v.numpy(), err_msg=k)
+
+
+def test_read_pth_refuses_arbitrary_globals(tmp_path):
+    import os as _os
+
+    class Evil:
+        def __reduce__(self):
+            return (_os.system, ("true",))
+
+    path = tmp_path / "evil.pth"
+    torch.save({"e": Evil()}, path)
+    with pytest.raises(Exception, match="refusing|persistent|Unpickl"):
+        read_pth(path)
+
+
+def _tiny_torch_repvgg_state(seed: int = 0):
+    """Keys matching the reference RepVGG layout for a [1, 1]/[8, 16] config
+    (mirrors test_models_classification.test_torch_checkpoint_conversion_parity)."""
+    tnn = torch.nn
+
+    class TorchRepBlock(tnn.Module):
+        def __init__(self, in_c, out_c, stride, identity):
+            super().__init__()
+            self.branches = tnn.ModuleList([
+                tnn.Sequential(tnn.Conv2d(in_c, out_c, 3, stride, 1, bias=False), tnn.BatchNorm2d(out_c)),
+                tnn.Sequential(tnn.Conv2d(in_c, out_c, 1, stride, 0, bias=False), tnn.BatchNorm2d(out_c)),
+            ])
+            if identity:
+                self.branches.append(tnn.BatchNorm2d(out_c))
+
+        def forward(self, x):
+            return torch.relu(sum(b(x) for b in self.branches))
+
+    class TorchNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(
+                tnn.Sequential(TorchRepBlock(3, 8, 2, False), TorchRepBlock(8, 8, 1, True)),
+                tnn.Sequential(TorchRepBlock(8, 16, 2, False), TorchRepBlock(16, 16, 1, True)),
+            )
+            self.head = tnn.Linear(16, 5)
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.head(x.mean((2, 3)))
+
+    torch.manual_seed(seed)
+    tm = TorchNet().eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+    return tm
+
+
+def test_load_pretrained_params_torch_free_end_to_end(tmp_path):
+    """file:// URL -> torch-free download/cache -> read_pth -> convert_state_dict:
+    the full ``pretrained=True`` path, with logit parity against the torch net."""
+    from holocron_tpu.models.classification.repvgg import RepVGG
+    from holocron_tpu.models.core import Model
+    from holocron_tpu.models.utils import load_pretrained_params
+
+    tm = _tiny_torch_repvgg_state()
+    ckpt = tmp_path / "repvgg_tiny.pth"
+    torch.save(tm.state_dict(), ckpt)
+
+    jm = Model(RepVGG([1, 1], [8, 16], 1.0, 1.0, num_classes=5))
+    import os
+
+    os.environ["HOLOCRON_CACHE_DIR"] = str(tmp_path / "cache")
+    try:
+        load_pretrained_params(jm, url=ckpt.as_uri())
+    finally:
+        del os.environ["HOLOCRON_CACHE_DIR"]
+    assert jm.pretrained_loaded
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(jm(jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_load_pretrained_params_sha256_mismatch_degrades(tmp_path, caplog):
+    from holocron_tpu.models.classification.repvgg import RepVGG
+    from holocron_tpu.models.core import Model
+    from holocron_tpu.models.utils import load_pretrained_params
+
+    tm = _tiny_torch_repvgg_state()
+    ckpt = tmp_path / "repvgg_tiny.pth"
+    torch.save(tm.state_dict(), ckpt)
+
+    jm = Model(RepVGG([1, 1], [8, 16], 1.0, 1.0, num_classes=5))
+    import os
+
+    os.environ["HOLOCRON_CACHE_DIR"] = str(tmp_path / "cache")
+    try:
+        load_pretrained_params(jm, url=ckpt.as_uri(), sha256="0" * 64)
+    finally:
+        del os.environ["HOLOCRON_CACHE_DIR"]
+    assert not jm.pretrained_loaded  # degrades to default init with a warning
+
+
+def test_read_pth_runs_without_torch(tmp_path):
+    """The read path must work when ``import torch`` raises — the package's own
+    dependency set has no torch (VERDICT r2 item 1)."""
+    sd = {"a": torch.randn(2, 3), "b": torch.arange(4)}
+    path = tmp_path / "nt.pth"
+    torch.save(sd, path)
+    np.save(tmp_path / "a.npy", sd["a"].numpy())
+    code = f"""
+import sys
+sys.modules["torch"] = None  # makes any 'import torch' raise ImportError
+import numpy as np
+from holocron_tpu.models._pth_reader import read_pth
+out = read_pth({str(path)!r})
+np.testing.assert_array_equal(out["a"], np.load({str(tmp_path / 'a.npy')!r}))
+assert list(out["b"]) == [0, 1, 2, 3]
+print("OK")
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo"
+    )
+    assert res.returncode == 0, res.stderr
+    assert "OK" in res.stdout
