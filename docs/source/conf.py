@@ -11,8 +11,9 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(ROOT))
 
-# regenerate the checkpoint tables from the live enums
+# regenerate the checkpoint tables from the live enums + the changelog/parity pages
 subprocess.run([sys.executable, str(ROOT / "docs" / "gen_zoo.py")], check=True)
+subprocess.run([sys.executable, str(ROOT / "docs" / "gen_md_pages.py")], check=True)
 
 project = "holocron-tpu"
 author = "holocron-tpu contributors"

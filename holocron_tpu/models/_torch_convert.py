@@ -148,11 +148,21 @@ def _convert_resnet(module, state_dict):
             layout = [("conv_0", 0), ("conv_2", 4)]  # ScaleConv2d sits at conv index 3
         elif block_name == "SKBottleneck":
             layout = [("conv_0", 0), ("conv_2", 4)]  # SKConv2d at conv index 3
+        elif block_name in ("PyBottleneck", "PyHGBottleneck"):
+            layout = [("conv_0", 0), ("conv_2", 6)]  # PyConv2d pyramid at conv index 3
         else:
             raise NotImplementedError(f"unsupported block: {block_name}")
         for name, off in layout:
             _conv_at(state_dict, f"{tprefix}.conv.{off}", params, stats, f"{dest}/{name}/conv")
             _bn_at(state_dict, f"{tprefix}.conv.{off + 1}", params, stats, f"{dest}/{name}/bn")
+        if block_name in ("PyBottleneck", "PyHGBottleneck"):
+            # PyConv2d is a torch ModuleList of per-level convs (reference
+            # nn/modules/conv.py:373-438) -> our level{k} children
+            k = 0
+            while f"{tprefix}.conv.3.{k}.weight" in state_dict:
+                _conv_at(state_dict, f"{tprefix}.conv.3.{k}", params, stats, f"{dest}/conv_1/conv/level{k}")
+                k += 1
+            _bn_at(state_dict, f"{tprefix}.conv.4", params, stats, f"{dest}/conv_1/bn")
         if block_name == "Bottle2neck":
             # ScaleConv2d: conv list of [conv, bn, act] sequentials (res2net.py:42-58)
             scale = module.block_args.get("scale", 4) if isinstance(module.block_args, dict) else 4

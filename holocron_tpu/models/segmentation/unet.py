@@ -189,8 +189,14 @@ class UBlock(nn.Module):
         up = ConvSequence(up_chan * 4, kernel_size=1, name="up_conv", **common)(upfeat, train)
         up = pixel_shuffle(up, 2)
         if downfeat.shape[1:3] != up.shape[1:3]:
-            n, _, _, c = up.shape
-            up = jax.image.resize(up, (n, downfeat.shape[1], downfeat.shape[2], c), method="nearest")
+            # torch-legacy nearest (src = floor(dst * in/out), reference unet.py:276):
+            # differs from jax.image.resize's half-pixel convention whenever this path
+            # DOWNSCALES (the bottom decoder block shrinks its 2x-upsampled features
+            # back to the skip's size — e.g. 4x4 -> 2x2 picks pixels 0/2, not 1/3)
+            h, w = up.shape[1:3]
+            rows = jnp.floor(jnp.arange(downfeat.shape[1]) * (h / downfeat.shape[1])).astype(jnp.int32)
+            cols = jnp.floor(jnp.arange(downfeat.shape[2]) * (w / downfeat.shape[2])).astype(jnp.int32)
+            up = up[:, rows][:, :, cols]
         down = BatchNorm2d(dtype=self.dtype, name="bn")(downfeat, train)
         x = self.act_layer(jnp.concatenate([down, up], axis=-1))
         x = ConvSequence(self.out_chan, kernel_size=3, padding=self.padding, name="conv_0", **common)(x, train)

@@ -62,3 +62,44 @@ def test_bench_zoo_and_table(tmp_path, capsys):
     _run("gen_bench_table.py", [str(out_file)])
     table = capsys.readouterr().out
     assert "| repvgg_a0 |" in table and "3.14" in table  # reference GPU column present
+
+
+def test_parity_harness_skips_cleanly_without_reference(tmp_path):
+    """scripts/parity/run.py must exit 0 with a SKIP message when the reference
+    checkout is absent (graceful degradation contract, VERDICT r2 item 3)."""
+    import os
+    import subprocess
+
+    env = {**os.environ, "HOLOCRON_REF": str(tmp_path / "nonexistent")}
+    res = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "parity" / "run.py"), "api"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=ROOT,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "SKIP" in res.stdout
+
+
+def test_parity_harness_api_suite():
+    """When the reference checkout + torch are available, the public-symbol diff
+    must pass (zero missing symbols — docs/PARITY.md)."""
+    import os
+    import subprocess
+
+    import pytest
+
+    ref = os.environ.get("HOLOCRON_REF", "/root/reference")
+    if not (Path(ref) / "holocron").is_dir():
+        pytest.skip("reference checkout not available")
+    pytest.importorskip("torch")
+    res = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "parity" / "run.py"), "api"],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "all parity checks passed" in res.stdout
