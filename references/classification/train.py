@@ -69,10 +69,11 @@ def build_datasets(args):
         normalize_image,
     )
 
+    seed = getattr(args, "seed", 0)
     if args.data_path == "fake":
         shape = (args.train_crop_size, args.train_crop_size, 3)
-        train_set = SyntheticDataset(args.fake_samples, shape, args.num_classes)
-        val_set = SyntheticDataset(max(args.fake_samples // 4, args.batch_size), shape, args.num_classes, seed=1)
+        train_set = SyntheticDataset(args.fake_samples, shape, args.num_classes, seed=seed)
+        val_set = SyntheticDataset(max(args.fake_samples // 4, args.batch_size), shape, args.num_classes, seed=seed + 1)
         return train_set, val_set, [str(i) for i in range(args.num_classes)], None, None
 
     dataset = args.dataset.lower()
@@ -99,7 +100,9 @@ def build_datasets(args):
             crop = args.train_crop_size
             mean_arr = np.asarray(mean, np.float32)
             std_arr = np.asarray(std, np.float32)
-            master_rng = np.random.default_rng(0)
+            # --seed makes the whole native pipeline reproducible: the master rng
+            # drives both the C++ RRC/flip draws and the augment-tail draws
+            master_rng = np.random.default_rng(seed)
             pool = ThreadPoolExecutor(args.workers)
 
             def augment_one(img_and_seed):
@@ -187,7 +190,7 @@ def main(args):
     base_collate = train_collate or default_collate
     collate = base_collate
     if args.mixup_alpha > 0:
-        mix = Mixup(num_classes, alpha=args.mixup_alpha)
+        mix = Mixup(num_classes, alpha=args.mixup_alpha, seed=getattr(args, "seed", 0))
 
         def collate(batch):  # noqa: F811
             x, y = base_collate(batch)
@@ -195,7 +198,7 @@ def main(args):
 
     train_loader = DataLoader(
         train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True,
-        collate_fn=collate,
+        collate_fn=collate, seed=getattr(args, "seed", 0),
     )
     val_loader = DataLoader(
         val_set, args.batch_size, num_workers=args.workers, collate_fn=val_collate or default_collate
@@ -291,6 +294,7 @@ def parse_args():
     group.add_argument("--amp", help="use bf16 mixed precision", action="store_true")
 
     group = parser.add_argument_group("Data loading")
+    group.add_argument("--seed", default=0, type=int, help="pipeline seed (shuffle, native RRC/flip, augment tail, mixup)")
     group.add_argument("-b", "--batch-size", default=32, type=int, help="batch size")
     group.add_argument("-j", "--workers", default=8, type=int, help="number of loader threads")
     group.add_argument(

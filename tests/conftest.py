@@ -10,7 +10,17 @@ import os
 # must be set before jax initializes its backends
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
-    os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+    prev = (prev + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices share ONE core here: an 8-way all-reduce needs all 8 device
+# threads scheduled within the rendezvous window, and XLA's default 40s hard limit
+# F-aborts the whole process when the box is busy (observed in the CLI test
+# sequence: "Termination timeout for `all reduce ...` of 40 seconds exceeded")
+if "collective_call_terminate_timeout" not in prev:
+    prev += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = prev
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
