@@ -12,5 +12,8 @@ HOST: str = os.environ.get("API_HOST", "0.0.0.0")
 PORT: int = int(os.environ.get("API_PORT", "8050"))
 MAX_BATCH: int = int(os.environ.get("HOLOCRON_MAX_BATCH", "8"))
 BATCH_WAIT_MS: float = float(os.environ.get("HOLOCRON_BATCH_WAIT_MS", "5"))
-# serve the selective-int8 deploy form (holocron_tpu.quant; up to 1.64x on wide archs)
-QUANTIZE: bool = os.environ.get("HOLOCRON_QUANTIZE", "0") == "1"
+# serve the selective-int8 deploy form (holocron_tpu.quant; up to 1.95x on wide archs).
+# "1" honors the measured per-arch policy (falls back to bf16 where int8 loses);
+# "force" quantizes regardless.
+_q = os.environ.get("HOLOCRON_QUANTIZE", "0")
+QUANTIZE = "force" if _q == "force" else _q == "1"

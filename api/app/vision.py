@@ -31,11 +31,23 @@ def load_model(arch: str = config.ARCH, num_classes: int = config.NUM_CLASSES):
     if hasattr(model.module, "reparametrize"):
         model.reparametrize()
     if config.QUANTIZE:
+        from holocron_tpu.quant import quantize_model, recommended_quantization
+
+        # measured per-arch policy: int8 loses on concat-heavy U-Nets / grouped-conv
+        # archs (docs/bench) — serving falls back to bf16 there rather than shipping
+        # a slower AND less accurate model. HOLOCRON_QUANTIZE=force overrides.
+        verdict = recommended_quantization(arch)
+        if verdict is not None and not verdict["recommended"] and config.QUANTIZE != "force":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"HOLOCRON_QUANTIZE requested but int8 measures {verdict['int8_speedup']:.2f}x "
+                f"vs bf16 on {arch} (docs/bench) — serving bf16; set HOLOCRON_QUANTIZE=force to override"
+            )
+            return model
         # dynamic per-request activation scales: no calibration set exists at serving
         # time, and the extra per-conv reduction fuses into the conv (docs/PERF.md)
-        from holocron_tpu.quant import quantize_model
-
-        return quantize_model(model)
+        return quantize_model(model, arch=arch)
     return model
 
 

@@ -3,8 +3,14 @@
 Mirrors the reference protocol (scripts/eval_latency.py:20-56 — 10 warmup + 100 timed
 iters, reparametrize first) but measures images/sec/chip at a throughput-oriented batch
 size, the BASELINE.json metric. Measures BOTH the bf16 deploy form and the
-selective-int8 form (holocron_tpu/quant.py) and reports the faster — the best
-supported serving configuration of the same model — with both numbers in the label.
+selective-int8 form (holocron_tpu/quant.py) and reports the fastest form THAT PASSES
+THE ACCURACY GATE: int8 may only take the headline if its top-1 agreement with the
+bf16 form on held-out naturalistic inputs clears ``HOLOCRON_INT8_AGREEMENT``
+(default 0.99) — "best deploy form" means fastest form that passes accuracy, not
+fastest form outright (VERDICT r2). BN statistics are adapted to the input
+distribution before reparametrization so the folded weights are in a realistic
+regime rather than raw init.
+
 ``vs_baseline`` is value / 8000 — the ratio to the north-star target (>=8k
 images/sec/chip on v5e); 1.0 means target met.
 
@@ -12,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -31,19 +38,40 @@ def _throughput(fwd, args, batch: int, iters: int = 100) -> float:
     return batch * iters / (time.perf_counter() - t_start)
 
 
+def _naturalistic_batch(key, batch: int, size: int, dtype=jnp.float32) -> jax.Array:
+    """Spatially-correlated inputs (bilinear-upsampled noise + per-image color bias),
+    standardized — much closer to normalized natural-image statistics than white
+    noise, which is what the int8 agreement gate should judge on."""
+    k1, k2 = jax.random.split(key)
+    coarse = jax.random.normal(k1, (batch, size // 8, size // 8, 3))
+    img = jax.image.resize(coarse, (batch, size, size, 3), method="bilinear")
+    img = img + 0.5 * jax.random.normal(k2, (batch, 1, 1, 3))  # per-image color cast
+    img = (img - img.mean(axis=(1, 2, 3), keepdims=True)) / (
+        img.std(axis=(1, 2, 3), keepdims=True) + 1e-6
+    )
+    return img.astype(dtype)
+
+
 def main() -> None:
     from holocron_tpu.models import repvgg_a0
-    from holocron_tpu.quant import quantize_model
+    from holocron_tpu.quant import measure_agreement, quantize_model
 
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "256"))
-    model = repvgg_a0(dtype=jnp.bfloat16)
-    model.init((batch, 224, 224, 3), dtype=jnp.bfloat16)
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    agreement_floor = float(os.environ.get("HOLOCRON_INT8_AGREEMENT", "0.99"))
+    model = repvgg_a0(dtype=jnp.bfloat16)  # bf16 compute; params/BN stats stay f32
+    model.init((batch, 224, 224, 3))
+
+    # adapt BN running stats to the benchmark input distribution before folding:
+    # reparametrize() bakes them into the deploy conv, so the quantization gate
+    # judges realistically-scaled weights, not raw-init statistics
+    for i in range(4):
+        model(_naturalistic_batch(jax.random.key(100 + i), batch, 224), train=True)
     model.reparametrize()
 
     # params in bf16 for deploy inference: halves weight traffic from HBM
-    variables = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.variables)
+    variables = jax.tree.map(lambda t: t.astype(jnp.bfloat16), model.variables)
     module = model.module
-    x = jax.random.normal(jax.random.key(0), (batch, 224, 224, 3), jnp.bfloat16)
+    x = _naturalistic_batch(jax.random.key(0), batch, 224, jnp.bfloat16)
 
     # weights closed over the jit as constants (Model.deploy_forward rationale):
     # XLA pre-tiles/folds them into the executable — measured +7% over args
@@ -52,25 +80,37 @@ def main() -> None:
 
     # Selective-int8 deploy form; never allowed to take down the headline number.
     int8_ips = 0.0
+    agreement = None
     try:
-        qm = quantize_model(model, calibration_batches=[x])
+        qm = quantize_model(model, calibration_batches=[x.astype(jnp.float32)])
         qm.variables = variables  # non-quantized remainder stays bf16
         qfwd, qparams = qm.apply_fn(), qm.qparams
         # qparams closed over as jit constants: lets XLA bake the int8 weights /
         # scales into the executable (measured ~20% faster than passing them as args)
-        jfwd = jax.jit(lambda v, a: qfwd(v, qparams, a))
-        int8_ips = _throughput(jfwd, (qm.variables, x), batch)
+        jfwd = jax.jit(lambda a: qfwd(qm.variables, qparams, a))
+        # accuracy gate on held-out naturalistic batches
+        gate_batches = [
+            _naturalistic_batch(jax.random.key(200 + i), batch, 224, jnp.bfloat16)
+            for i in range(2)
+        ]
+        agreement = measure_agreement(fwd, jfwd, gate_batches)
+        if agreement["top1_agreement"] >= agreement_floor:
+            int8_ips = _throughput(jfwd, (x,), batch)
     except Exception as exc:  # pragma: no cover - defensive for driver runs
         import sys
 
         print(f"int8 path skipped: {exc!r}", file=sys.stderr, flush=True)
 
     best, form = max((bf16_ips, "bf16"), (int8_ips, "selective-int8"))
+    gate_str = (
+        f", int8 top-1 agreement {agreement['top1_agreement']:.3f} "
+        f"(gate >={agreement_floor})" if agreement is not None else ""
+    )
     print(
         json.dumps({
             "metric": (
-                f"repvgg_a0 224px inference throughput, best deploy form = {form} "
-                f"(batch={batch}; bf16 {bf16_ips:,.0f} img/s, int8 {int8_ips:,.0f} img/s)"
+                f"repvgg_a0 224px inference throughput, best accuracy-gated deploy form = {form} "
+                f"(batch={batch}; bf16 {bf16_ips:,.0f} img/s, int8 {int8_ips:,.0f} img/s{gate_str})"
             ),
             "value": round(best, 1),
             "unit": "images/sec/chip",

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Generates holocron_tpu/models/_data/quant_policy.json from the measured zoo
+benchmarks in docs/bench/*.jsonl.
+
+The per-arch int8-vs-bf16 outcome is knowledge the package should act on, not just
+document (VERDICT r2): `quantize_model` warns — and the serving path falls back to
+bf16 — where int8 measurably loses. Policy = best-measured int8 throughput over
+best-measured bf16 throughput per arch (best across the args/const deploy forms,
+mirroring the README "best measured form" protocol).
+
+Run after refreshing any zoo JSONL: python scripts/gen_quant_policy.py
+"""
+
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+BENCH = ROOT / "docs" / "bench"
+OUT = ROOT / "holocron_tpu" / "models" / "_data" / "quant_policy.json"
+
+BF16 = [
+    "zoo_v5e_224_b128_bf16.jsonl",
+    "zoo_v5e_224_b128_bf16_const.jsonl",
+    "zoo_v5e_segdet_b32_bf16.jsonl",
+    "zoo_v5e_segdet_b32_bf16_const.jsonl",
+]
+INT8 = [
+    "zoo_v5e_224_b128_int8.jsonl",
+    "zoo_v5e_224_b128_int8_const.jsonl",
+    "zoo_v5e_segdet_b32_int8.jsonl",
+]
+
+
+def best_per_arch(files):
+    best = {}
+    for name in files:
+        path = BENCH / name
+        if not path.exists():
+            continue
+        for line in path.read_text().splitlines():
+            row = json.loads(line)
+            if "img_per_sec" not in row:
+                continue
+            arch = row["arch"]
+            best[arch] = max(best.get(arch, 0.0), row["img_per_sec"])
+    return best
+
+
+def main():
+    bf16 = best_per_arch(BF16)
+    int8 = best_per_arch(INT8)
+    policy = {
+        arch: {
+            "int8_speedup": round(int8[arch] / bf16[arch], 3),
+            "recommended": int8[arch] / bf16[arch] >= 1.05,
+        }
+        for arch in sorted(set(bf16) & set(int8))
+    }
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    OUT.write_text(json.dumps(policy, indent=1) + "\n")
+    n_rec = sum(1 for v in policy.values() if v["recommended"])
+    print(f"wrote {OUT}: {len(policy)} archs, {n_rec} recommended for int8")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""int8-vs-bf16 accuracy evidence on TRAINED weights (VERDICT r2: the int8 headline
+needs accuracy measured beyond random init).
+
+Offline protocol (no network -> no ImageNet checkpoints): train each arch on a
+learnable synthetic 10-class task (naturalistic correlated noise + class-specific
+spatial templates) until it separates the classes, then measure
+
+- top-1 accuracy of the bf16 deploy form and the selective-int8 form,
+- their top-1 agreement and max softmax drift (holocron_tpu.quant.measure_agreement)
+
+on held-out samples. With real converted checkpoints available, pass
+``--checkpoint arch=path.mpk`` to skip training and measure on those weights
+(the scripts/parity conversion path produces them).
+
+Writes one JSONL row per arch (docs/bench/quant_accuracy.jsonl by default) and
+prints a markdown table for docs/PERF.md.
+
+Usage: python scripts/quant_accuracy.py --archs repvgg_a0 resnet50 --steps 300
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def make_task(key, num_classes: int, size: int):
+    """Class-conditional image generator: correlated noise + a per-class spatial
+    template. Learnable in a few hundred steps, image-statistics-shaped."""
+    import jax
+    import jax.numpy as jnp
+
+    templates = jax.random.normal(key, (num_classes, size // 8, size // 8, 3))
+    templates = jax.image.resize(templates, (num_classes, size, size, 3), method="bilinear")
+
+    def batch(key, n):
+        k1, k2, k3 = jax.random.split(key, 3)
+        y = jax.random.randint(k1, (n,), 0, num_classes)
+        coarse = jax.random.normal(k2, (n, size // 8, size // 8, 3))
+        noise = jax.image.resize(coarse, (n, size, size, 3), method="bilinear")
+        x = noise + 0.9 * templates[y] + 0.3 * jax.random.normal(k3, (n, size, size, 3))
+        x = (x - x.mean(axis=(1, 2, 3), keepdims=True)) / (x.std(axis=(1, 2, 3), keepdims=True) + 1e-6)
+        return x, y
+
+    return batch
+
+
+def train(model, batch_fn, steps: int, batch: int, lr: float = 1e-3):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from holocron_tpu.nn.functional import cross_entropy
+
+    module = model.module
+    variables = model.variables
+    params, state = variables["params"], {k: v for k, v in variables.items() if k != "params"}
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state, x, y):
+        def loss_fn(p):
+            out, updates = module.apply({"params": p, **state}, x, train=True, mutable=list(state))
+            return cross_entropy(out, y), updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), {**state, **updates}, opt_state, loss
+
+    key = jax.random.key(42)
+    loss = None
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        x, y = batch_fn(sub, batch)
+        params, state, opt_state, loss = step(params, state, opt_state, x, y)
+    model.load_variables({"params": params, **state})
+    return float(jax.device_get(loss))
+
+
+def evaluate(fwd, batch_fn, key, batches: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    correct = total = 0
+    for i in range(batches):
+        key, sub = jax.random.split(key)
+        x, y = batch_fn(sub, batch)
+        pred = jnp.argmax(fwd(x), -1)
+        correct += int(jax.device_get(jnp.sum(pred == y)))
+        total += batch
+    return correct / total
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    import holocron_tpu.models as M
+    from holocron_tpu.quant import measure_agreement, quantize_model
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    checkpoints = dict(kv.split("=", 1) for kv in args.checkpoint)
+    rows = []
+    for arch in args.archs:
+        model = M.__dict__[arch]()
+        model.init((args.batch, args.size, args.size, 3))
+        batch_fn = make_task(jax.random.key(7), 10, args.size)
+        if arch in checkpoints:
+            from flax import serialization
+
+            state = serialization.msgpack_restore(Path(checkpoints[arch]).read_bytes())
+            model.load_variables(jax.tree.map(jnp.asarray, state.get("model", state)))
+            final_loss = float("nan")
+        else:
+            final_loss = train(model, batch_fn, args.steps, args.batch)
+        if hasattr(model, "reparametrize"):
+            model.reparametrize()
+
+        # bf16 deploy form (the serving configuration the gate protects)
+        bf16_vars = jax.tree.map(lambda t: t.astype(jnp.bfloat16), model.variables)
+        module = model.module
+        bf16_fwd = jax.jit(lambda a: module.apply(bf16_vars, a, train=False))
+
+        calib = [batch_fn(jax.random.key(1000 + i), args.batch)[0] for i in range(2)]
+        qm = quantize_model(model, calibration_batches=calib, arch=arch)
+        qm.variables = bf16_vars
+        qfwd, qparams = qm.apply_fn(), qm.qparams
+        int8_fwd = jax.jit(lambda a: qfwd(qm.variables, qparams, a))
+
+        eval_key = jax.random.key(2000)
+        acc_bf16 = evaluate(bf16_fwd, batch_fn, eval_key, args.eval_batches, args.batch)
+        acc_int8 = evaluate(int8_fwd, batch_fn, eval_key, args.eval_batches, args.batch)
+        gate = measure_agreement(
+            bf16_fwd, int8_fwd,
+            [batch_fn(jax.random.key(3000 + i), args.batch)[0] for i in range(args.eval_batches)],
+        )
+        row = {
+            "arch": arch,
+            "weights": "checkpoint" if arch in checkpoints else f"trained {args.steps} steps (loss {final_loss:.3f})",
+            "acc_bf16": round(acc_bf16, 4),
+            "acc_int8": round(acc_int8, 4),
+            "top1_agreement": round(gate["top1_agreement"], 4),
+            "max_prob_drift": round(gate["max_prob_drift"], 5),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out:
+        with open(args.out, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+
+    print("\n| arch | weights | bf16 top-1 | int8 top-1 | agreement | max prob drift |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['arch']} | {r['weights']} | {r['acc_bf16']:.3f} | {r['acc_int8']:.3f} "
+            f"| {r['top1_agreement']:.3f} | {r['max_prob_drift']:.4f} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--archs", nargs="+", default=["repvgg_a0", "resnet50"])
+    parser.add_argument("--steps", default=300, type=int)
+    parser.add_argument("--batch", default=64, type=int)
+    parser.add_argument("--size", default=64, type=int)
+    parser.add_argument("--eval-batches", default=4, type=int)
+    parser.add_argument("--checkpoint", nargs="*", default=[], help="arch=path.mpk pairs")
+    parser.add_argument("--out", default="", help="append JSONL rows here")
+    parser.add_argument("--cpu", action="store_true")
+    sys.exit(main(parser.parse_args()))

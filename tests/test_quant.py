@@ -166,3 +166,50 @@ def test_quantized_weights_are_int8():
         assert rec["kernel_q"].dtype == jnp.int8
         assert rec["w_scale"].dtype == jnp.float32
         assert int(jnp.abs(rec["kernel_q"]).max()) <= QINT_MAX
+
+
+def test_recommended_quantization_policy():
+    """The measured per-arch int8 verdicts (docs/bench -> quant_policy.json) are
+    queryable: wide RepVGGs win, concat-heavy U-Nets lose, unmeasured archs -> None."""
+    from holocron_tpu.quant import recommended_quantization
+
+    v = recommended_quantization("repvgg_b3")
+    assert v["recommended"] and v["int8_speedup"] > 1.5
+    v = recommended_quantization("unet_rexnet13")
+    assert v is not None and not v["recommended"]
+    assert recommended_quantization("not_an_arch") is None
+
+
+def test_quantize_model_warns_on_losing_arch(caplog):
+    import logging
+
+    from holocron_tpu import models
+
+    model = models.__dict__["repvgg_a0"]()
+    model.init((1, 32, 32, 3))
+    with caplog.at_level(logging.WARNING, logger="holocron_tpu.quant"):
+        quantize_model(model, arch="unetpp")
+    assert any("LOSES" in rec.message for rec in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="holocron_tpu.quant"):
+        quantize_model(model, arch="repvgg_b3")
+    assert not any("LOSES" in rec.message for rec in caplog.records)
+
+
+def test_quantized_model_cache_invalidation():
+    """Reassigning qparams must drop the cached jit (they are baked in as constants,
+    ADVICE r2)."""
+    import numpy as np
+
+    from holocron_tpu import models
+
+    model = models.__dict__["repvgg_a0"](num_classes=4)
+    model.init((1, 32, 32, 3))
+    model.reparametrize()
+    qm = quantize_model(model)
+    x = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
+    ref = np.asarray(qm(x))
+    # zero every quantized kernel: output MUST change if the cache was invalidated
+    qm.qparams = {k: {**v, "kernel_q": jnp.zeros_like(v["kernel_q"])} for k, v in qm.qparams.items()}
+    changed = np.asarray(qm(x))
+    assert np.abs(changed - ref).max() > 1e-4
