@@ -307,6 +307,145 @@ def run_optim(names, steps: int = 10):
     return failures
 
 
+def _convert_nn_state(sd, rules):
+    """Maps a torch nn-module state dict onto our flat variable paths via per-module
+    rules ``{torch_prefix: (our_path, kind)}`` — all maps are layout-only."""
+    import numpy as np
+
+    out = {}
+    for tkey, arr in sd.items():
+        if tkey.endswith("num_batches_tracked"):
+            continue
+        a = arr.detach().numpy()
+        for prefix, (dest, kind) in rules.items():
+            if tkey == prefix or tkey.startswith(prefix + "."):
+                suffix = tkey[len(prefix):].lstrip(".")
+                if kind == "conv":
+                    if suffix == "weight":
+                        out[f"params/{dest}/kernel"] = a.transpose(2, 3, 1, 0)
+                    else:
+                        out[f"params/{dest}/bias"] = a
+                elif kind == "bn":
+                    dest_key = {
+                        "weight": f"params/{dest}/scale",
+                        "bias": f"params/{dest}/bias",
+                        "running_mean": f"batch_stats/{dest}/mean",
+                        "running_var": f"batch_stats/{dest}/var",
+                    }[suffix]
+                    out[dest_key] = a
+                elif kind == "direct":
+                    out[dest] = a
+                elif kind == "lambda_R":  # (k, u, 1, r, r) -> (r, r, u, k)
+                    out[dest] = a.squeeze(2).transpose(2, 3, 1, 0)
+                break
+        else:
+            raise KeyError(f"unmapped torch key {tkey}")
+    return out
+
+
+def _nn_specs():
+    """(name, ref_factory, our_factory, rules, in_channels, spatial) — rules=None
+    means parameter-free (no conversion needed)."""
+    import holocron.nn as ref_nn
+
+    import holocron_tpu.nn as our_nn
+
+    tri_rules = {}
+    for b in ("c_branch", "h_branch", "w_branch"):
+        tri_rules[f"{b}.compress.1"] = (f"{b}/conv", "conv")
+        tri_rules[f"{b}.compress.2"] = (f"{b}/bn", "bn")
+    return [
+        ("SAM", lambda: ref_nn.SAM(8), lambda: our_nn.SAM(), {"conv": ("conv", "conv")}, 8, 12),
+        ("TripletAttention", lambda: ref_nn.TripletAttention(), lambda: our_nn.TripletAttention(), tri_rules, 8, 12),
+        ("FReLU", lambda: ref_nn.FReLU(8), lambda: our_nn.FReLU(),
+         {"conv": ("conv", "conv"), "bn": ("bn", "bn")}, 8, 12),
+        ("SlimConv2d", lambda: ref_nn.SlimConv2d(8, 3, padding=1, r=2, L=2),
+         lambda: our_nn.SlimConv2d(3, padding=1, r=2, L=2),
+         {k: (k, "conv") for k in ("fc1", "fc2", "conv_top", "conv_bot1", "conv_bot2")} | {"bn": ("bn", "bn")},
+         8, 12),
+        ("PyConv2d", lambda: ref_nn.PyConv2d(8, 8, 3, num_levels=3, padding=1),
+         lambda: our_nn.PyConv2d(8, 3, num_levels=3, padding=1),
+         {str(i): (f"level{i}", "conv") for i in range(3)}, 8, 12),
+        ("Involution2d", lambda: ref_nn.Involution2d(8, 3, padding=1, groups=2, reduction_ratio=2),
+         lambda: our_nn.Involution2d(3, padding=1, groups=2, reduction_ratio=2),
+         {"reduce": ("reduce", "conv"), "span": ("span", "conv")}, 8, 12),
+        ("LambdaLayer(pos_emb)", lambda: ref_nn.LambdaLayer(8, 8, dim_k=4, n=144, num_heads=2),
+         lambda: our_nn.LambdaLayer(8, dim_k=4, n=144, num_heads=2),
+         {"to_q": ("to_q", "conv"), "to_k": ("to_k", "conv"), "to_v": ("to_v", "conv"),
+          "norm_q": ("norm_q", "bn"), "norm_v": ("norm_v", "bn"),
+          "pos_emb": ("params/pos_emb", "direct")}, 8, 12),
+        ("LambdaLayer(local r=3)", lambda: ref_nn.LambdaLayer(8, 8, dim_k=4, r=3, num_heads=2),
+         lambda: our_nn.LambdaLayer(8, dim_k=4, r=3, num_heads=2),
+         {"to_q": ("to_q", "conv"), "to_k": ("to_k", "conv"), "to_v": ("to_v", "conv"),
+          "norm_q": ("norm_q", "bn"), "norm_v": ("norm_v", "bn"),
+          "R": ("params/R", "lambda_R")}, 8, 12),
+        ("NormConv2d", lambda: ref_nn.NormConv2d(8, 6, 3, padding=1),
+         lambda: our_nn.NormConv2d(6, 3, padding=1),
+         {"weight": ("", "conv_root_w"), "bias": ("", "conv_root_b")}, 8, 12),
+        ("Add2d", lambda: ref_nn.Add2d(8, 6, 3, padding=1),
+         lambda: our_nn.Add2d(6, 3, padding=1),
+         {"weight": ("", "conv_root_w"), "bias": ("", "conv_root_b")}, 8, 12),
+        # parameter-free
+        ("HardMish", lambda: ref_nn.HardMish(), lambda: our_nn.HardMish(), None, 8, 12),
+        ("NLReLU", lambda: ref_nn.NLReLU(), lambda: our_nn.NLReLU(), None, 8, 12),
+        ("ZPool", lambda: ref_nn.ZPool(dim=1), lambda: our_nn.ZPool(), None, 8, 12),
+        ("ConcatDownsample2d", lambda: ref_nn.ConcatDownsample2d(2), lambda: our_nn.ConcatDownsample2d(2), None, 8, 12),
+        ("GlobalAvgPool2d", lambda: ref_nn.GlobalAvgPool2d(flatten=True), lambda: our_nn.GlobalAvgPool2d(flatten=True), None, 8, 12),
+        ("SPP [5,9,13]", lambda: ref_nn.SPP([5, 9, 13]), lambda: our_nn.SPP([5, 9, 13]), None, 8, 16),
+        ("BlurPool2d k3", lambda: ref_nn.BlurPool2d(8, 3, stride=2), lambda: our_nn.BlurPool2d(3, stride=2), None, 8, 13),
+        ("BlurPool2d k5", lambda: ref_nn.BlurPool2d(8, 5, stride=2), lambda: our_nn.BlurPool2d(5, stride=2), None, 8, 13),
+    ]
+
+
+def run_nn(tol: float = 5e-6):
+    """nn-module parity with converted weights (the docs/PARITY.md nn table)."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    failures = []
+    for name, ref_fac, our_fac, rules, in_c, size in _nn_specs():
+        torch.manual_seed(0)
+        tm = ref_fac().eval()
+        _randomize_bn(tm)
+        ours = our_fac()
+        x = np.random.default_rng(0).normal(size=(2, in_c, size, size)).astype(np.float32)
+        xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+        try:
+            variables = ours.init(jax.random.key(0), xj)
+        except TypeError:
+            variables = ours.init(jax.random.key(0), xj, False)
+        if rules is not None:
+            if any(kind.startswith("conv_root") for _, kind in rules.values()):
+                sd = tm.state_dict()
+                flat = {
+                    "params/kernel": sd["weight"].numpy().transpose(2, 3, 1, 0),
+                    "params/bias": sd["bias"].numpy(),
+                }
+            else:
+                flat = _convert_nn_state(tm.state_dict(), rules)
+            variables = flax.traverse_util.unflatten_dict(
+                {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()}
+            )
+        try:
+            got = ours.apply(variables, xj)
+        except TypeError:
+            got = ours.apply(variables, xj, False)
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(x)).numpy()
+        got = np.asarray(got)
+        if expected.ndim == 4:
+            got = got.transpose(0, 3, 1, 2)
+        rel = _rel_err(got, expected)
+        ok = rel <= tol
+        print(f"{name:24s} rel={rel:.2e}  ({'PASS' if ok else 'FAIL'} tol={tol:.0e})")
+        if not ok:
+            failures.append(name)
+    return failures
+
+
 def run_api():
     """Public-symbol diff: every reference public name must exist here."""
     import holocron
@@ -350,6 +489,7 @@ def main():
     p_optim = sub.add_parser("optim", help="optimizer trajectory parity")
     p_optim.add_argument("names", nargs="*")
     p_optim.add_argument("--all", action="store_true")
+    sub.add_parser("nn", help="nn-module parity with converted weights")
     sub.add_parser("api", help="public symbol diff")
     args = parser.parse_args()
 
@@ -363,6 +503,8 @@ def main():
     elif args.suite == "optim":
         names = OPTIMIZERS if (args.all or not args.names) else args.names
         failures = run_optim(names)
+    elif args.suite == "nn":
+        failures = run_nn()
     else:
         failures = run_api()
     if failures:
