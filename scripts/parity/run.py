@@ -446,6 +446,95 @@ def run_nn(tol: float = 5e-6):
     return failures
 
 
+def run_yolo():
+    """YOLOv4 YoloLayer loss A/B: identical raw head outputs + targets through the
+    reference's per-image-loop implementation and our dense masked one
+    (docs/PARITY.md "YOLOv4 YoloLayer A/B").
+
+    Two documented reference bugs are mimicked to make the comparison exact:
+    - its ignore-thresh write lands on an advanced-indexing copy (no-op), so our
+      layer runs with ignore_thresh=2.0 (never triggers) for the A/B;
+    - its CIoU αv term never lands (masked addcdiv_ on a copy), so its "CIoU" is
+      numerically DIoU — our bbox loss is compared with ciou_loss swapped for
+      diou_loss, and separately reported with the real CIoU to show the αv delta.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    # the factory functions shadow the module names in the package namespaces
+    ref_y = importlib.import_module("holocron.models.detection.yolov4")
+    our_y = importlib.import_module("holocron_tpu.models.detection.yolov4")
+    our_ops = importlib.import_module("holocron_tpu.ops")
+
+    h = w = 13
+    num_anchors, num_classes = 3, 5
+    anchors = np.array([[0.08, 0.1], [0.2, 0.25], [0.4, 0.5]], np.float32)
+    tl = ref_y.YoloLayer(torch.from_numpy(anchors), num_classes=num_classes, scale_xy=1.1).train()
+    ol = our_y.YoloLayer([tuple(a) for a in anchors], num_classes=num_classes, scale_xy=1.1, ignore_thresh=2.0)
+
+    rng = np.random.default_rng(0)
+    raw = rng.normal(scale=1.0, size=(2, num_anchors * (5 + num_classes), h, w)).astype(np.float32)
+
+    scenarios = {
+        "1 GT / image": [
+            {"boxes": np.array([[0.1, 0.1, 0.4, 0.5]], np.float32), "labels": np.array([2])},
+            {"boxes": np.array([[0.55, 0.3, 0.9, 0.85]], np.float32), "labels": np.array([4])},
+        ],
+        "multi GT (3, 5)": [
+            {"boxes": rng.uniform(0, 0.45, (3, 4)).astype(np.float32) + np.array([0, 0, 0.5, 0.5], np.float32),
+             "labels": rng.integers(0, num_classes, 3)},
+            {"boxes": rng.uniform(0, 0.45, (5, 4)).astype(np.float32) + np.array([0, 0, 0.5, 0.5], np.float32),
+             "labels": rng.integers(0, num_classes, 5)},
+        ],
+        "empty GT in batch": [
+            {"boxes": np.zeros((0, 4), np.float32), "labels": np.zeros((0,), np.int64)},
+            {"boxes": np.array([[0.2, 0.2, 0.7, 0.7]], np.float32), "labels": np.array([1])},
+        ],
+    }
+
+    failures = []
+    orig_ciou = our_y.ciou_loss
+    for name, target in scenarios.items():
+        t_target = [{k: torch.from_numpy(np.asarray(v)) for k, v in d.items()} for d in target]
+        with torch.no_grad():
+            ref_losses = tl(torch.from_numpy(raw), t_target)
+
+        max_boxes = max(len(d["labels"]) for d in target) or 1
+        boxes = np.zeros((2, max_boxes, 4), np.float32)
+        labels = np.zeros((2, max_boxes), np.int32)
+        mask = np.zeros((2, max_boxes), bool)
+        for i, d in enumerate(target):
+            m = len(d["labels"])
+            boxes[i, :m] = d["boxes"]
+            labels[i, :m] = d["labels"]
+            mask[i, :m] = True
+        padded = {"boxes": jnp.asarray(boxes), "labels": jnp.asarray(labels), "mask": jnp.asarray(mask)}
+        raw_j = jnp.asarray(raw.transpose(0, 2, 3, 1))
+
+        try:
+            our_y.ciou_loss = our_ops.diou_loss  # mimic the reference's dead αv term
+            our_losses_diou = {k: float(v) for k, v in ol(raw_j, padded).items()}
+        finally:
+            our_y.ciou_loss = orig_ciou
+        our_losses_ciou = {k: float(v) for k, v in ol(raw_j, padded).items()}
+
+        line = [f"{name:20s}"]
+        ok = True
+        for key in ("obj_loss", "noobj_loss", "clf_loss", "bbox_loss"):
+            ref_v = float(ref_losses[key])
+            our_v = our_losses_diou[key]
+            rel = abs(our_v - ref_v) / max(abs(ref_v), 1e-9)
+            ok = ok and rel <= 1e-5
+            line.append(f"{key.split('_')[0]}={rel:.1e}")
+        alpha_v = our_losses_ciou["bbox_loss"] - our_losses_diou["bbox_loss"]
+        line.append(f"(real-CIoU αv delta {alpha_v:+.4f})")
+        print("  ".join(line) + ("  PASS" if ok else "  FAIL"))
+        if not ok:
+            failures.append(name)
+    return failures
+
+
 def run_api():
     """Public-symbol diff: every reference public name must exist here."""
     import holocron
@@ -490,6 +579,7 @@ def main():
     p_optim.add_argument("names", nargs="*")
     p_optim.add_argument("--all", action="store_true")
     sub.add_parser("nn", help="nn-module parity with converted weights")
+    sub.add_parser("yolo", help="YOLOv4 YoloLayer loss A/B vs the reference loop")
     sub.add_parser("api", help="public symbol diff")
     args = parser.parse_args()
 
@@ -505,6 +595,8 @@ def main():
         failures = run_optim(names)
     elif args.suite == "nn":
         failures = run_nn()
+    elif args.suite == "yolo":
+        failures = run_yolo()
     else:
         failures = run_api()
     if failures:
