@@ -68,11 +68,13 @@ class Trainer:
         gradient_acc: int = 1,
         gradient_clip: Optional[float] = None,
         on_epoch_end: Optional[Callable[[Dict[str, float]], Any]] = None,
-        remat: bool = False,
+        remat: Union[bool, str] = False,
         partial_batch: str = "pad",
     ) -> None:
         if partial_batch not in ("pad", "drop"):
             raise ValueError(f"partial_batch must be 'pad' or 'drop', got {partial_batch!r}")
+        if remat not in (False, True, "full", "dots"):
+            raise ValueError(f"remat must be False, True/'full', or 'dots', got {remat!r}")
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -298,7 +300,13 @@ class Trainer:
             order = self.model.forward_order()
             stats_mask = {k: freeze_model(v, self._freeze_until, order) for k, v in net_state.items()}
         loss_forward = self._make_loss_forward(module, mutable)
-        if remat:
+        if remat == "dots":
+            # keep conv/matmul outputs, rematerialize all elementwise/normalize work
+            # in the backward: the train step is HBM-bound on intermediate activation
+            # traffic (docs/PERF.md), so recomputing cheap fusions instead of storing
+            # and re-reading them trades idle MXU FLOPs for the actual bottleneck
+            loss_forward = jax.checkpoint(loss_forward, policy=jax.checkpoint_policies.dots_saveable)
+        elif remat:
             # rematerialize activations in the backward pass: trades FLOPs for
             # HBM so larger batches fit (jax.checkpoint over the whole forward)
             loss_forward = jax.checkpoint(loss_forward)

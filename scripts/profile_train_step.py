@@ -52,8 +52,19 @@ def main(args):
     loader = [(x, y)]
 
     model = repvgg_a0()
+    remat = {"none": False, "full": True, "dots": "dots"}[args.remat]
+    if args.opt == "lamb":
+        opt = lambda lr: lamb(lr)  # noqa: E731
+    elif args.opt == "sgd":
+        import optax
+
+        opt = lambda lr: optax.sgd(lr, momentum=0.9)  # noqa: E731
+    else:
+        from holocron_tpu.optim import adamp
+
+        opt = lambda lr: adamp(lr)  # noqa: E731
     trainer = ClassificationTrainer(
-        model, loader, loader, cross_entropy, lambda lr: lamb(lr), amp=True
+        model, loader, loader, cross_entropy, opt, amp=True, remat=remat
     )
 
     logdir = tempfile.mkdtemp(prefix="holocron_profile_")
@@ -119,4 +130,6 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", default=128, type=int)
     parser.add_argument("--steps", default=5, type=int)
+    parser.add_argument("--remat", default="none", choices=["none", "full", "dots"])
+    parser.add_argument("--opt", default="lamb", choices=["lamb", "sgd", "adamp"])
     sys.exit(main(parser.parse_args()))

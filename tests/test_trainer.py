@@ -344,6 +344,19 @@ def test_remat_training():
     assert losses[-1] < losses[0]
 
 
+def test_remat_dots_training():
+    """remat='dots' (keep conv outputs, recompute elementwise in the backward —
+    the HBM-traffic policy, docs/PERF.md) must train identically well."""
+    trainer = make_trainer(remat="dots")
+    losses = trainer.check_setup(lr=5e-3, num_it=8)
+    assert losses[-1] < losses[0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="remat"):
+        make_trainer(remat="bogus")
+
+
 def test_training_learns_separable_data():
     """End-to-end learning check: constant-color classes + noise must be fit to
     near-perfect validation accuracy within a few epochs."""
