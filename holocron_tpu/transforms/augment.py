@@ -211,12 +211,17 @@ class RandomErasing:
         scale: Tuple[float, float] = (0.02, 0.33),
         ratio: Tuple[float, float] = (0.3, 3.3),
         seed: Optional[int] = None,
+        pixel_stats: Optional[Tuple] = None,
     ) -> None:
         if scale[0] > scale[1] or ratio[0] > ratio[1]:
             raise ValueError("scale and ratio should be of kind (min, max)")
         self.p = p
         self.scale = tuple(scale)
         self.ratio = tuple(ratio)
+        # (mean, std) of the normalization applied LATER on-device: lets erasing run
+        # on uint8 images (the 4x-lighter transfer path) with a fill that lands on
+        # the same standard-normal distribution after normalization
+        self.pixel_stats = pixel_stats
         self._rng = np.random.default_rng(seed)
 
     def __call__(self, image: np.ndarray, rng=None) -> np.ndarray:
@@ -237,9 +242,13 @@ class RandomErasing:
                 top = int(rng.integers(0, h - eh + 1))
                 left = int(rng.integers(0, w - ew + 1))
                 out = image.copy()
-                out[top : top + eh, left : left + ew] = rng.normal(
-                    size=(eh, ew, image.shape[2])
-                ).astype(image.dtype)
+                noise = rng.normal(size=(eh, ew, image.shape[2]))
+                if image.dtype == np.uint8:
+                    if self.pixel_stats is None:
+                        raise ValueError("uint8 erasing needs pixel_stats=(mean, std)")
+                    mean, std = (np.asarray(v, np.float32) for v in self.pixel_stats)
+                    noise = np.clip(np.rint((mean + std * noise) * 255.0), 0, 255)
+                out[top : top + eh, left : left + ew] = noise.astype(image.dtype)
                 return out
         return image
 

@@ -32,17 +32,26 @@ class Mixup:
     def __call__(self, inputs: np.ndarray, targets: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         inputs = np.asarray(inputs)
         targets = np.asarray(targets)
+        # uint8 inputs (the 4x-lighter host->device transfer path) mix in f32 and
+        # round back: mixing commutes with the affine normalization applied
+        # on-device, so rounding is the only (sub-quantum) deviation
+        is_u8 = inputs.dtype == np.uint8
+        soft_dtype = np.float32 if is_u8 else inputs.dtype
         if targets.ndim == 1:
             if self.num_classes > 1:
-                targets = np.eye(self.num_classes, dtype=inputs.dtype)[targets]
+                targets = np.eye(self.num_classes, dtype=soft_dtype)[targets]
             elif self.num_classes == 1:
                 targets = targets[:, None]
-        targets = targets.astype(inputs.dtype)
+        targets = targets.astype(soft_dtype)
 
         if self.alpha == 0:
             return inputs, targets
         lam = float(self._rng.beta(self.alpha, self.alpha))
         index = self._rng.permutation(inputs.shape[0])
-        mixed_inputs = lam * inputs + (1 - lam) * inputs[index]
+        if is_u8:
+            mixed = lam * inputs.astype(np.float32) + (1 - lam) * inputs[index].astype(np.float32)
+            mixed_inputs = np.clip(np.rint(mixed), 0, 255).astype(np.uint8)
+        else:
+            mixed_inputs = lam * inputs + (1 - lam) * inputs[index]
         mixed_targets = lam * targets + (1 - lam) * targets[index]
         return mixed_inputs, mixed_targets

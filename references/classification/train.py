@@ -74,7 +74,7 @@ def build_datasets(args):
         shape = (args.train_crop_size, args.train_crop_size, 3)
         train_set = SyntheticDataset(args.fake_samples, shape, args.num_classes, seed=seed)
         val_set = SyntheticDataset(max(args.fake_samples // 4, args.batch_size), shape, args.num_classes, seed=seed + 1)
-        return train_set, val_set, [str(i) for i in range(args.num_classes)], None, None
+        return train_set, val_set, [str(i) for i in range(args.num_classes)], None, None, None
 
     dataset = args.dataset.lower()
     preset = IMAGENETTE if dataset == "imagenette" else CIF10_PRESET
@@ -96,23 +96,25 @@ def build_datasets(args):
             from concurrent.futures import ThreadPoolExecutor
 
             taw = TrivialAugmentWide()
-            erase = RandomErasing(p=args.random_erase, scale=(0.02, 0.2))
+            # erasing runs on uint8 with pixel_stats so the fill lands on the same
+            # standard-normal distribution after the ON-DEVICE normalization
+            erase = RandomErasing(p=args.random_erase, scale=(0.02, 0.2), pixel_stats=(mean, std))
             crop = args.train_crop_size
-            mean_arr = np.asarray(mean, np.float32)
-            std_arr = np.asarray(std, np.float32)
             # --seed makes the whole native pipeline reproducible: the master rng
             # drives both the C++ RRC/flip draws and the augment-tail draws
             master_rng = np.random.default_rng(seed)
             pool = ThreadPoolExecutor(args.workers)
 
             def augment_one(img_and_seed):
+                # batch stays uint8 end-to-end on the host: /255-mean-std runs inside
+                # the jitted train step (Trainer input_norm) and the host->device
+                # link moves 4x fewer bytes
                 img, seed = img_and_seed
                 rng = np.random.default_rng(seed)
                 img = taw(img, rng=rng)
-                x = (img.astype(np.float32) / 255.0 - mean_arr) / std_arr
                 if args.random_erase > 0:
-                    x = erase(x, rng=rng)
-                return x
+                    img = erase(img, rng=rng)
+                return img
 
             def train_collate(batch):
                 buffers, ys = zip(*batch)
@@ -131,7 +133,7 @@ def build_datasets(args):
             )
             train_set = NativeImageFolder(train_dir)
             val_set = NativeImageFolder(val_dir)
-            return train_set, val_set, train_set.classes, train_collate, val_collate
+            return train_set, val_set, train_set.classes, train_collate, val_collate, (mean, std)
 
         train_tf = Compose([
             RandomResizedCrop(args.train_crop_size, scale=(0.3, 1.0)),
@@ -149,7 +151,7 @@ def build_datasets(args):
 
         train_set = ImageFolder(train_dir, transform=train_tf)
         val_set = ImageFolder(val_dir, transform=val_tf)
-        return train_set, val_set, train_set.classes, None, None
+        return train_set, val_set, train_set.classes, None, None, None
 
     # CIFAR path (reference train.py:111-124): no resizing, flip + TrivialAugmentWide
     cifar = CIFAR100 if dataset == "cifar100" else CIFAR10
@@ -161,7 +163,7 @@ def build_datasets(args):
     ])
     train_set = cifar(args.data_path, train=True, transform=train_tf)
     val_set = cifar(args.data_path, train=False, transform=normalize)
-    return train_set, val_set, train_set.classes, None, None
+    return train_set, val_set, train_set.classes, None, None, None
 
 
 def main(args):
@@ -184,7 +186,7 @@ def main(args):
 
     from holocron_tpu.utils.data import default_collate
 
-    train_set, val_set, classes, train_collate, val_collate = build_datasets(args)
+    train_set, val_set, classes, train_collate, val_collate, input_norm = build_datasets(args)
     num_classes = args.num_classes or len(classes)
 
     base_collate = train_collate or default_collate
@@ -233,6 +235,7 @@ def main(args):
         amp=args.amp,
         gradient_acc=args.grad_acc,
         gradient_clip=args.grad_clip,
+        input_norm=input_norm,
     )
     if args.resume:
         print(f"Resuming {args.resume}")

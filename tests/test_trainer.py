@@ -344,6 +344,23 @@ def test_remat_training():
     assert losses[-1] < losses[0]
 
 
+def test_input_norm_uint8_matches_prenormalized_f32():
+    """A uint8 batch + on-device input_norm must produce exactly the training loss of
+    the host-normalized f32 batch (the 4x-lighter transfer path, VERDICT r2 item 4)."""
+    mean, std = (0.4, 0.5, 0.45), (0.2, 0.25, 0.22)
+    rng = np.random.default_rng(0)
+    x_u8 = rng.integers(0, 256, size=(8, 16, 16, 3), dtype=np.uint8)
+    y = rng.integers(0, 4, size=8).astype(np.int32)
+    x_f32 = (x_u8.astype(np.float32) / 255.0 - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+    losses = []
+    for batch_x, norm in ((x_u8, (mean, std)), (x_f32, None)):
+        loader = [(batch_x, y)]
+        trainer = make_trainer(train_loader=loader, val_loader=loader, input_norm=norm)
+        losses.append(trainer.check_setup(lr=1e-3, num_it=2))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
 def test_remat_dots_training():
     """remat='dots' (keep conv outputs, recompute elementwise in the backward —
     the HBM-traffic policy, docs/PERF.md) must train identically well."""
