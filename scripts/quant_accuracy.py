@@ -62,9 +62,11 @@ def train(model, batch_fn, steps: int, batch: int, lr: float = 1e-3):
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, state, opt_state, x, y):
+    def step(params, state, opt_state, x, y, rng):
         def loss_fn(p):
-            out, updates = module.apply({"params": p, **state}, x, train=True, mutable=list(state))
+            out, updates = module.apply(
+                {"params": p, **state}, x, train=True, mutable=list(state), rngs={"dropout": rng}
+            )
             return cross_entropy(out, y), updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -74,9 +76,9 @@ def train(model, batch_fn, steps: int, batch: int, lr: float = 1e-3):
     key = jax.random.key(42)
     loss = None
     for i in range(steps):
-        key, sub = jax.random.split(key)
+        key, sub, drop = jax.random.split(key, 3)
         x, y = batch_fn(sub, batch)
-        params, state, opt_state, loss = step(params, state, opt_state, x, y)
+        params, state, opt_state, loss = step(params, state, opt_state, x, y, drop)
     model.load_variables({"params": params, **state})
     return float(jax.device_get(loss))
 
@@ -119,8 +121,10 @@ def main(args):
             final_loss = float("nan")
         else:
             final_loss = train(model, batch_fn, args.steps, args.batch)
-        if hasattr(model, "reparametrize"):
+        try:
             model.reparametrize()
+        except NotImplementedError:
+            pass  # arch has no deploy fusion (ResNets etc.)
 
         # bf16 deploy form (the serving configuration the gate protects)
         bf16_vars = jax.tree.map(lambda t: t.astype(jnp.bfloat16), model.variables)
@@ -150,10 +154,8 @@ def main(args):
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
-
-    if args.out:
-        with open(args.out, "a") as f:
-            for row in rows:
+        if args.out:  # append per row: a later arch crashing must not lose results
+            with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
 
     print("\n| arch | weights | bf16 top-1 | int8 top-1 | agreement | max prob drift |")
