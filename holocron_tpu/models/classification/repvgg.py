@@ -41,7 +41,13 @@ __all__ = [
 
 
 class RepBlock(nn.Module):
-    """One RepVGG block (reference: repvgg.py:38-107)."""
+    """One RepVGG block (reference: repvgg.py:38-107).
+
+    ``s2d`` (deploy-only): run the block as a 2x2 stride-1 conv over the
+    space-to-depth(2) rearrangement of the input — mathematically identical to the
+    3x3 stride-2 form (see :func:`_fold_s2d_stem_kernel`) but with 4x the input
+    channels, which packs the MXU far better for the 3-channel stem.
+    """
 
     planes: int
     stride: int = 1
@@ -49,22 +55,42 @@ class RepBlock(nn.Module):
     act_layer: Callable = jax.nn.relu
     deploy: bool = False
     dtype: Optional[Any] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.identity and x.shape[-1] != self.planes:
             raise ValueError("The number of input and output channels must be identical if identity is used")
         if self.deploy:
-            out = nn.Conv(
-                self.planes,
-                (3, 3),
-                strides=(self.stride, self.stride),
-                padding=1,
-                use_bias=True,
-                kernel_init=kaiming_normal(),
-                dtype=self.dtype,
-                name="rep_conv",
-            )(x)
+            if self.s2d:
+                if self.stride != 2 or x.shape[1] % 2 or x.shape[2] % 2:
+                    raise ValueError("s2d deploy form requires stride 2 and even input H/W")
+                from ...nn.functional import concat_downsample2d
+
+                z = concat_downsample2d(x, 2)
+                # top/left zero column in z-space stands in for the original pad-1
+                # row/col of x; the (u=0, a=0) kernel entries are zero by the fold
+                out = nn.Conv(
+                    self.planes,
+                    (2, 2),
+                    strides=(1, 1),
+                    padding=((1, 0), (1, 0)),
+                    use_bias=True,
+                    kernel_init=kaiming_normal(),
+                    dtype=self.dtype,
+                    name="rep_conv",
+                )(z)
+            else:
+                out = nn.Conv(
+                    self.planes,
+                    (3, 3),
+                    strides=(self.stride, self.stride),
+                    padding=1,
+                    use_bias=True,
+                    kernel_init=kaiming_normal(),
+                    dtype=self.dtype,
+                    name="rep_conv",
+                )(x)
         else:
             conv_kw = {"use_bias": False, "kernel_init": kaiming_normal(), "dtype": self.dtype}
             b3 = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=1, name="conv_3x3", **conv_kw)(x)
@@ -108,11 +134,36 @@ def _fuse_rep_block(block_params: dict, block_stats: dict, eps: float = 1e-5) ->
     return {"rep_conv": {"kernel": kernel, "bias": bias}}
 
 
+def _fold_s2d_stem_kernel(k3: jax.Array) -> jax.Array:
+    """Folds a fused ``(3, 3, C, O)`` stride-2 kernel into the equivalent
+    ``(2, 2, 4C, O)`` stride-1 kernel over the space-to-depth(2) input.
+
+    Derivation: with pad-1, output pixel ``(i, j)`` reads ``x[2i+d-1]`` for
+    ``d in {0, 1, 2}``. Writing ``2i+d-1 = 2(i-1+u)+a`` gives ``(u, a) = (0, 1)``
+    for ``d=0`` and ``(1, d-1)`` otherwise — a 2x2 window over
+    ``z[p, q, (a, b, c)] = x[2p+a, 2q+b, c]`` (``concat_downsample2d`` channel
+    order) with one zero row/col padded on top/left. The unused ``(u=0, a=0)``
+    taps stay zero.
+    """
+    _, _, c, o = k3.shape
+    k2 = jnp.zeros((2, 2, 4 * c, o), k3.dtype)
+    for di in range(3):
+        u, a = (0, 1) if di == 0 else (1, di - 1)
+        for dj in range(3):
+            v, b = (0, 1) if dj == 0 else (1, dj - 1)
+            ch = (a * 2 + b) * c
+            k2 = k2.at[u, v, ch : ch + c].set(k3[di, dj])
+    return k2
+
+
 class RepVGG(nn.Module):
     """RepVGG body: staged RepBlocks -> global average pool -> linear head.
 
     Reference: repvgg.py:110-171. Stage ``s`` opens with a stride-2 non-identity block
     followed by ``num_blocks[s]`` stride-1 identity blocks (the reference's layout).
+
+    ``s2d_stem`` (deploy form only): replace the 3-input-channel stem conv with its
+    space-to-depth fold — same math, better MXU packing (docs/PERF.md).
     """
 
     num_blocks: Sequence[int]
@@ -124,6 +175,7 @@ class RepVGG(nn.Module):
     act_layer: Callable = jax.nn.relu
     deploy: bool = False
     dtype: Optional[Any] = None
+    s2d_stem: bool = False
 
     def _stage_channels(self) -> list:
         if len(self.num_blocks) != len(self.planes):
@@ -137,7 +189,10 @@ class RepVGG(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         chans = self._stage_channels()
         for s, (nb, out_c) in enumerate(zip(self.num_blocks, chans)):
-            x = RepBlock(out_c, 2, False, self.act_layer, self.deploy, self.dtype, name=f"features_{s}_0")(x, train)
+            s2d = self.s2d_stem and s == 0
+            x = RepBlock(out_c, 2, False, self.act_layer, self.deploy, self.dtype, s2d, name=f"features_{s}_0")(
+                x, train
+            )
             for j in range(nb):
                 x = RepBlock(out_c, 1, True, self.act_layer, self.deploy, self.dtype, name=f"features_{s}_{j + 1}")(
                     x, train
@@ -146,8 +201,12 @@ class RepVGG(nn.Module):
         x = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
         return x
 
-    def reparametrize(self, variables: dict) -> Tuple["RepVGG", dict]:
-        """Returns the deploy module and its fused variables (repvgg.py:166-171)."""
+    def reparametrize(self, variables: dict, s2d_stem: bool = False) -> Tuple["RepVGG", dict]:
+        """Returns the deploy module and its fused variables (repvgg.py:166-171).
+
+        ``s2d_stem=True`` additionally folds the stem into its space-to-depth form
+        (:func:`_fold_s2d_stem_kernel`) — numerically identical, faster on the MXU.
+        """
         if self.deploy:
             # already fused — the reference raises AssertionError too (repvgg.py:79-80)
             raise AssertionError("model is already reparametrized")
@@ -161,9 +220,15 @@ class RepVGG(nn.Module):
                     new_params[name] = _fuse_rep_block(block_params, stats[name])
                 else:
                     new_params[name] = block_params
+            if s2d_stem:
+                stem = new_params["features_0_0"]["rep_conv"]
+                new_params["features_0_0"]["rep_conv"] = {
+                    "kernel": _fold_s2d_stem_kernel(stem["kernel"]),
+                    "bias": stem["bias"],
+                }
             return {"params": new_params}
 
-        deploy_module = self.clone(deploy=True)
+        deploy_module = self.clone(deploy=True, s2d_stem=s2d_stem)
         return deploy_module, jax.jit(fuse)(variables)
 
 

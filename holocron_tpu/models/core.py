@@ -159,18 +159,20 @@ class Model:
     # ------------------------------------------------------------------
     # reparametrization (RepVGG / MobileOne style)
     # ------------------------------------------------------------------
-    def reparametrize(self) -> "Model":
+    def reparametrize(self, **kwargs: Any) -> "Model":
         """Fuses training-time branches into deploy form, in place.
 
-        Dispatches to the module's ``reparametrize(variables)`` which must return
-        ``(deploy_module, deploy_variables)``. Mirrors the reference's in-place
+        Dispatches to the module's ``reparametrize(variables, **kwargs)`` which must
+        return ``(deploy_module, deploy_variables)``. Mirrors the reference's in-place
         ``model.reparametrize()`` (holocron/models/classification/repvgg.py:166-171).
+        Module-specific options pass through — e.g. RepVGG's ``s2d_stem=True`` folds
+        the stem into its space-to-depth form.
         """
         if not hasattr(self.module, "reparametrize"):
             raise NotImplementedError(f"{type(self.module).__name__} does not support reparametrization")
         if self.variables is None:
             raise RuntimeError("model parameters are not initialized yet — run a forward or call .init() first")
-        self.module, self.variables = self.module.reparametrize(self.variables)
+        self.module, self.variables = self.module.reparametrize(self.variables, **kwargs)
         self._eval_fn = None
         self._train_fns = {}
         self._forward_order = None

@@ -44,6 +44,33 @@ def test_repvgg_reparametrize_equivalence():
     assert "batch_stats" not in m.variables
 
 
+def test_repvgg_s2d_stem_exact_equivalence():
+    """The space-to-depth stem fold is a lossless rewrite: the 2x2 stride-1 conv over
+    concat_downsample2d(x, 2) must match the plain 3x3 stride-2 deploy stem exactly
+    (same float ops, reordered input gather)."""
+    m = Model(RepVGG([1, 1], [8, 16], 1.0, 2.0, num_classes=5))
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+    m(x, train=True)  # realistic BN stats before folding
+    module, variables = m.module, m.variables
+    d_plain, v_plain = module.reparametrize(variables)
+    d_s2d, v_s2d = module.reparametrize(variables, s2d_stem=True)
+    y_plain = jax.jit(lambda a: d_plain.apply(v_plain, a))(x)
+    y_s2d = jax.jit(lambda a: d_s2d.apply(v_s2d, a))(x)
+    np.testing.assert_allclose(np.asarray(y_plain), np.asarray(y_s2d), atol=2e-6)
+    assert v_s2d["params"]["features_0_0"]["rep_conv"]["kernel"].shape == (2, 2, 12, 8)
+    # only the stem is folded; later stage openers keep the 3x3 stride-2 form
+    assert v_s2d["params"]["features_1_0"]["rep_conv"]["kernel"].shape == (3, 3, 8, 32)
+
+
+def test_repvgg_s2d_stem_odd_input_rejected():
+    m = Model(RepVGG([1], [8], 1.0, 2.0, num_classes=5))
+    x = jax.random.normal(jax.random.key(3), (2, 16, 16, 3))
+    m(x)
+    m.reparametrize(s2d_stem=True)
+    with pytest.raises(ValueError):
+        m(jax.random.normal(jax.random.key(4), (2, 15, 15, 3)))
+
+
 def test_repvgg_identity_channel_mismatch():
     from holocron_tpu.models.classification.repvgg import RepBlock
 
