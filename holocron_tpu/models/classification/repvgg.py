@@ -47,6 +47,11 @@ class RepBlock(nn.Module):
     space-to-depth(2) rearrangement of the input — mathematically identical to the
     3x3 stride-2 form (see :func:`_fold_s2d_stem_kernel`) but with 4x the input
     channels, which packs the MXU far better for the 3-channel stem.
+
+    ``s2d_input`` (requires ``s2d``): the input is ALREADY space-to-depth
+    rearranged (``(N, H/2, W/2, 4C)``, :func:`concat_downsample2d` channel order)
+    by the host pipeline, so the device never pays the rearrange's HBM round trip
+    (the MLPerf-style TPU input optimization).
     """
 
     planes: int
@@ -56,6 +61,7 @@ class RepBlock(nn.Module):
     deploy: bool = False
     dtype: Optional[Any] = None
     s2d: bool = False
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -63,11 +69,16 @@ class RepBlock(nn.Module):
             raise ValueError("The number of input and output channels must be identical if identity is used")
         if self.deploy:
             if self.s2d:
-                if self.stride != 2 or x.shape[1] % 2 or x.shape[2] % 2:
-                    raise ValueError("s2d deploy form requires stride 2 and even input H/W")
-                from ...nn.functional import concat_downsample2d
+                if self.s2d_input:
+                    if x.shape[-1] % 4:
+                        raise ValueError("s2d_input expects a space-to-depth(2) batch (channels % 4 == 0)")
+                    z = x
+                else:
+                    if self.stride != 2 or x.shape[1] % 2 or x.shape[2] % 2:
+                        raise ValueError("s2d deploy form requires stride 2 and even input H/W")
+                    from ...nn.functional import concat_downsample2d
 
-                z = concat_downsample2d(x, 2)
+                    z = concat_downsample2d(x, 2)
                 # top/left zero column in z-space stands in for the original pad-1
                 # row/col of x; the (u=0, a=0) kernel entries are zero by the fold
                 out = nn.Conv(
@@ -164,6 +175,8 @@ class RepVGG(nn.Module):
 
     ``s2d_stem`` (deploy form only): replace the 3-input-channel stem conv with its
     space-to-depth fold — same math, better MXU packing (docs/PERF.md).
+    ``s2d_input`` (requires ``s2d_stem``): expect the input batch ALREADY
+    space-to-depth rearranged by the host pipeline (``(N, H/2, W/2, 12)``).
     """
 
     num_blocks: Sequence[int]
@@ -176,6 +189,7 @@ class RepVGG(nn.Module):
     deploy: bool = False
     dtype: Optional[Any] = None
     s2d_stem: bool = False
+    s2d_input: bool = False
 
     def _stage_channels(self) -> list:
         if len(self.num_blocks) != len(self.planes):
@@ -190,9 +204,10 @@ class RepVGG(nn.Module):
         chans = self._stage_channels()
         for s, (nb, out_c) in enumerate(zip(self.num_blocks, chans)):
             s2d = self.s2d_stem and s == 0
-            x = RepBlock(out_c, 2, False, self.act_layer, self.deploy, self.dtype, s2d, name=f"features_{s}_0")(
-                x, train
-            )
+            s2d_in = self.s2d_input and s == 0
+            x = RepBlock(
+                out_c, 2, False, self.act_layer, self.deploy, self.dtype, s2d, s2d_in, name=f"features_{s}_0"
+            )(x, train)
             for j in range(nb):
                 x = RepBlock(out_c, 1, True, self.act_layer, self.deploy, self.dtype, name=f"features_{s}_{j + 1}")(
                     x, train
@@ -201,12 +216,18 @@ class RepVGG(nn.Module):
         x = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
         return x
 
-    def reparametrize(self, variables: dict, s2d_stem: bool = False) -> Tuple["RepVGG", dict]:
+    def reparametrize(
+        self, variables: dict, s2d_stem: bool = False, s2d_input: bool = False
+    ) -> Tuple["RepVGG", dict]:
         """Returns the deploy module and its fused variables (repvgg.py:166-171).
 
         ``s2d_stem=True`` additionally folds the stem into its space-to-depth form
         (:func:`_fold_s2d_stem_kernel`) — numerically identical, faster on the MXU.
+        ``s2d_input=True`` (implies ``s2d_stem``) makes the deploy module consume a
+        host-rearranged ``(N, H/2, W/2, 12)`` batch, skipping the on-device
+        rearrange entirely (see :func:`space_to_depth_batch`).
         """
+        s2d_stem = s2d_stem or s2d_input
         if self.deploy:
             # already fused — the reference raises AssertionError too (repvgg.py:79-80)
             raise AssertionError("model is already reparametrized")
@@ -228,7 +249,7 @@ class RepVGG(nn.Module):
                 }
             return {"params": new_params}
 
-        deploy_module = self.clone(deploy=True, s2d_stem=s2d_stem)
+        deploy_module = self.clone(deploy=True, s2d_stem=s2d_stem, s2d_input=s2d_input)
         return deploy_module, jax.jit(fuse)(variables)
 
 

@@ -13,7 +13,27 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_preprocess"]
+__all__ = ["fused_preprocess", "space_to_depth_batch"]
+
+
+def space_to_depth_batch(images, scale: int = 2):
+    """Host-side space-to-depth: numpy ``(N, H, W, C)`` -> ``(N, H/s, W/s, s*s*C)``.
+
+    Channel order ``(sh, sw, c)`` matches :func:`holocron_tpu.nn.functional.
+    concat_downsample2d`, so the result feeds RepVGG's ``s2d_input`` deploy form
+    directly — the device never pays the rearrange's HBM round trip (the
+    MLPerf-style TPU input-layout optimization). Same total bytes as the plain
+    layout; works on uint8 and float batches alike.
+    """
+    import numpy as np
+
+    x = np.asarray(images)
+    n, h, w, c = x.shape
+    s = scale
+    if h % s or w % s:
+        raise ValueError("spatial size must be a multiple of scale")
+    x = x.reshape(n, h // s, s, w // s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(x.reshape(n, h // s, w // s, s * s * c))
 
 
 @partial(jax.jit, static_argnames=("size", "mean", "std", "dtype", "interpolation"))

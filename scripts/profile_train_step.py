@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Profiles the jitted train step on the real TPU and prints a device-op summary.
 
-Captures a ``jax.profiler`` trace of N train steps (RepVGG-A0, bf16 AMP + LAMB — the
-docs/PERF.md configuration), parses the device timeline ("XLA Ops" lines), and prints:
-total device time per step, the top ops by self-time, and the conv/elementwise/
-optimizer split — the data behind the roofline table in docs/PERF.md.
+Captures a ``jax.profiler`` trace of N train steps (default RepVGG-A0, bf16 AMP +
+LAMB — the docs/PERF.md configuration; any classification factory via ``--arch``),
+parses the device timeline ("XLA Ops" lines), and prints: total device time per
+step, the top ops by self-time, and the conv/elementwise/optimizer split — the
+data behind the roofline tables in docs/PERF.md.
 
-Usage: python scripts/profile_train_step.py [--batch 128] [--steps 5]
+Usage: python scripts/profile_train_step.py [--arch resnet50] [--batch 128] [--steps 5]
 """
 
 import argparse
@@ -41,17 +42,17 @@ def categorize(op_name: str) -> str:
 def main(args):
     import numpy as np
 
-    from holocron_tpu.models import repvgg_a0
+    from holocron_tpu import models
     from holocron_tpu.nn.functional import cross_entropy
     from holocron_tpu.optim import lamb
     from holocron_tpu.trainer import ClassificationTrainer
 
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(args.batch, 224, 224, 3)).astype(np.float32)
+    x = rng.normal(size=(args.batch, args.size, args.size, 3)).astype(np.float32)
     y = rng.integers(0, 10, size=(args.batch,)).astype(np.int32)
     loader = [(x, y)]
 
-    model = repvgg_a0()
+    model = getattr(models, args.arch)()
     remat = {"none": False, "full": True, "dots": "dots"}[args.remat]
     if args.opt == "lamb":
         opt = lambda lr: lamb(lr)  # noqa: E731
@@ -121,6 +122,11 @@ def main(args):
         if flops:
             print(f"\nXLA cost analysis: {flops / 1e9:.1f} GFLOP/step -> "
                   f"{flops / (per_step_ms / 1e3) / 1e12:.1f} TFLOP/s achieved")
+        nbytes = cost.get("bytes accessed")
+        if nbytes:
+            gbps = nbytes / (per_step_ms / 1e3) / 1e9
+            print(f"bytes accessed: {nbytes / 1e9:.1f} GB/step -> {gbps:.0f} GB/s "
+                  f"({100 * gbps / 819:.0f}% of v5e HBM peak)")
     except Exception as e:
         print("cost analysis unavailable:", e)
     return 0
@@ -128,6 +134,8 @@ def main(args):
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
+    parser.add_argument("--arch", default="repvgg_a0", help="classification factory name")
+    parser.add_argument("--size", default=224, type=int)
     parser.add_argument("--batch", default=128, type=int)
     parser.add_argument("--steps", default=5, type=int)
     parser.add_argument("--remat", default="none", choices=["none", "full", "dots"])

@@ -62,6 +62,29 @@ def test_repvgg_s2d_stem_exact_equivalence():
     assert v_s2d["params"]["features_1_0"]["rep_conv"]["kernel"].shape == (3, 3, 8, 32)
 
 
+def test_repvgg_s2d_input_host_rearranged_equivalence():
+    """``s2d_input=True``: the deploy net consumes a HOST-rearranged (N, H/2, W/2, 4C)
+    batch (``space_to_depth_batch``, same channel order as concat_downsample2d) and
+    must match the plain deploy forward exactly — the device-side rearrange is the
+    only thing removed."""
+    from holocron_tpu.transforms.functional import space_to_depth_batch
+
+    m = Model(RepVGG([1, 1], [8, 16], 1.0, 2.0, num_classes=5))
+    x = jax.random.normal(jax.random.key(5), (2, 32, 32, 3))
+    m(x, train=True)
+    module, variables = m.module, m.variables
+    d_plain, v_plain = module.reparametrize(variables)
+    d_s2d, v_s2d = module.reparametrize(variables, s2d_input=True)
+    z = jnp.asarray(space_to_depth_batch(np.asarray(x)))
+    assert z.shape == (2, 16, 16, 12)
+    y_plain = jax.jit(lambda a: d_plain.apply(v_plain, a))(x)
+    y_s2d = jax.jit(lambda a: d_s2d.apply(v_s2d, a))(z)
+    np.testing.assert_allclose(np.asarray(y_plain), np.asarray(y_s2d), atol=2e-6)
+    # a non-rearranged batch is rejected up front
+    with pytest.raises(ValueError):
+        d_s2d.apply(v_s2d, x)
+
+
 def test_repvgg_s2d_stem_odd_input_rejected():
     m = Model(RepVGG([1], [8], 1.0, 2.0, num_classes=5))
     x = jax.random.normal(jax.random.key(3), (2, 16, 16, 3))
