@@ -2,12 +2,15 @@
 """Profiles the jitted train step on the real TPU and prints a device-op summary.
 
 Captures a ``jax.profiler`` trace of N train steps (default RepVGG-A0, bf16 AMP +
-LAMB — the docs/PERF.md configuration; any classification factory via ``--arch``),
+LAMB — the docs/PERF.md configuration; any classification, segmentation, or
+detection factory via ``--arch``, task inferred from the factory's namespace),
 parses the device timeline ("XLA Ops" lines), and prints: total device time per
 step, the top ops by self-time, and the conv/elementwise/optimizer split — the
 data behind the roofline tables in docs/PERF.md.
 
 Usage: python scripts/profile_train_step.py [--arch resnet50] [--batch 128] [--steps 5]
+       python scripts/profile_train_step.py --arch unet --batch 32 --size 256
+       python scripts/profile_train_step.py --arch yolov4 --batch 32 --size 416
 """
 
 import argparse
@@ -39,17 +42,44 @@ def categorize(op_name: str) -> str:
     return "other"
 
 
+def infer_task(arch: str) -> str:
+    from holocron_tpu.models import detection, segmentation
+
+    if arch in detection.__dict__:
+        return "detection"
+    if arch in segmentation.__dict__:
+        return "segmentation"
+    return "classification"
+
+
 def main(args):
     import numpy as np
 
     from holocron_tpu import models
     from holocron_tpu.nn.functional import cross_entropy
     from holocron_tpu.optim import lamb
-    from holocron_tpu.trainer import ClassificationTrainer
+    from holocron_tpu.trainer import ClassificationTrainer, DetectionTrainer, SegmentationTrainer
 
+    task = args.task or infer_task(args.arch)
     rng = np.random.default_rng(0)
     x = rng.normal(size=(args.batch, args.size, args.size, 3)).astype(np.float32)
-    y = rng.integers(0, 10, size=(args.batch,)).astype(np.int32)
+    if task == "classification":
+        y = rng.integers(0, 10, size=(args.batch,)).astype(np.int32)
+    elif task == "segmentation":
+        y = rng.integers(0, 10, size=(args.batch, args.size, args.size)).astype(np.int32)
+    else:  # detection: padded relative-xyxy GT dicts (static shapes under jit)
+        from holocron_tpu.models.detection import pad_targets
+
+        targets = []
+        for _ in range(args.batch):
+            k = int(rng.integers(1, 8))
+            xy = rng.uniform(0.0, 0.9, size=(k, 2)).astype(np.float32)
+            wh = rng.uniform(0.05, 0.1, size=(k, 2)).astype(np.float32)
+            targets.append({
+                "boxes": np.concatenate([xy, xy + wh], axis=1),
+                "labels": rng.integers(0, 10, size=(k,)).astype(np.int32),
+            })
+        y = pad_targets(targets, 50)
     loader = [(x, y)]
 
     model = getattr(models, args.arch)()
@@ -64,9 +94,12 @@ def main(args):
         from holocron_tpu.optim import adamp
 
         opt = lambda lr: adamp(lr)  # noqa: E731
-    trainer = ClassificationTrainer(
-        model, loader, loader, cross_entropy, opt, amp=True, remat=remat
-    )
+    if task == "classification":
+        trainer = ClassificationTrainer(model, loader, loader, cross_entropy, opt, amp=True, remat=remat)
+    elif task == "segmentation":
+        trainer = SegmentationTrainer(model, loader, loader, cross_entropy, opt, amp=True, remat=remat)
+    else:
+        trainer = DetectionTrainer(model, loader, loader, None, opt, amp=True, remat=remat)
 
     logdir = tempfile.mkdtemp(prefix="holocron_profile_")
     trainer.profile(logdir=logdir, num_steps=args.steps, lr=1e-3)
@@ -97,9 +130,12 @@ def main(args):
         by_cat[categorize(e["name"])] += dur
     total_us = sum(by_op.values())
     per_step_ms = total_us / args.steps / 1e3
-
-    print(f"\ndevice time: {per_step_ms:.2f} ms/step over {args.steps} steps "
-          f"({args.batch / per_step_ms * 1e3:.0f} img/s/chip)")
+    if not total_us:
+        print("no TPU device ops in trace (CPU backend?) — skipping the timeline summary")
+        per_step_ms = float("nan")
+    else:
+        print(f"\ndevice time: {per_step_ms:.2f} ms/step over {args.steps} steps "
+              f"({args.batch / per_step_ms * 1e3:.0f} img/s/chip)")
     print("\nby category:")
     for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  {dur / args.steps / 1e3:7.2f} ms/step  {100 * dur / total_us:5.1f}%  {cat}")
@@ -113,7 +149,7 @@ def main(args):
 
         lowered = trainer._train_step.lower(
             trainer.model.params, trainer.model.state or {}, trainer._opt_state,
-            jax.numpy.asarray(x), jax.numpy.asarray(y), jax.random.key(0),
+            jax.numpy.asarray(x), jax.tree.map(jax.numpy.asarray, y), jax.random.key(0),
         )
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
@@ -134,7 +170,11 @@ def main(args):
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("--arch", default="repvgg_a0", help="classification factory name")
+    parser.add_argument("--arch", default="repvgg_a0", help="model factory name (any task)")
+    parser.add_argument(
+        "--task", default=None, choices=["classification", "segmentation", "detection"],
+        help="inferred from --arch's namespace when omitted",
+    )
     parser.add_argument("--size", default=224, type=int)
     parser.add_argument("--batch", default=128, type=int)
     parser.add_argument("--steps", default=5, type=int)

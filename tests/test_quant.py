@@ -132,6 +132,24 @@ def test_quantized_zoo_forward_close(arch):
     assert rel < 0.25, rel
 
 
+def test_quantize_model_discovery_defaults_to_calibration_shape():
+    """When the deploy module changed its input contract after init (RepVGG's
+    ``s2d_input`` host-rearranged form), conv discovery must trace with the
+    calibration batch's shape, not the stale init shape."""
+    from holocron_tpu import models
+    from holocron_tpu.transforms.functional import space_to_depth_batch
+
+    model = models.repvgg_a0()
+    model.init((2, 32, 32, 3))
+    model.reparametrize(s2d_input=True)
+    import numpy as np
+
+    z = jnp.asarray(space_to_depth_batch(np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype("float32")))
+    qm = quantize_model(model, calibration_batches=[z], min_in_channels=1)
+    out = qm(z)
+    assert out.shape == (2, model.module.num_classes)
+
+
 def test_dynamic_and_calibrated_scales_agree_on_calibration_data():
     """For a single conv, the dynamic per-call scale equals the calibrated scale on
     the calibration input itself (deeper models diverge: calibration observes the
