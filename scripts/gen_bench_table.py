@@ -37,6 +37,20 @@ def load(path):
     return rows
 
 
+def main_b1(args):
+    """Renders scripts/bench_b1.py JSONL: head-to-head with the reference's own
+    batch-1 headline table (device-timeline ms vs its GPU/CPU ms)."""
+    rows = load(args.jsonl)
+    ordered = sorted(rows.values(), key=lambda r: r["device_ms"])
+    print("| Arch | TPU device ms (b=1) | reference GPU ms | reference CPU ms | vs GPU |")
+    print("|---|---|---|---|---|")
+    for r in ordered:
+        gpu = f"{r['ref_gpu_ms']:.2f}" if r.get("ref_gpu_ms") else "—"
+        cpu = f"{r['ref_cpu_ms']:.2f}" if r.get("ref_cpu_ms") else "—"
+        speed = f"**{r['speedup_vs_ref_gpu']:.1f}x**" if r.get("speedup_vs_ref_gpu") else "—"
+        print(f"| {r['arch']} | {r['device_ms']:.3f} | {gpu} | {cpu} | {speed} |")
+
+
 def main(args):
     rows = load(args.jsonl)
     qrows = load(args.quant) if args.quant else {}
@@ -67,7 +81,9 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("jsonl")
     p.add_argument("--quant", default=None, help="JSONL from bench_zoo.py --quantize")
+    p.add_argument("--b1", action="store_true", help="render scripts/bench_b1.py JSONL (batch-1 head-to-head)")
     try:
-        main(p.parse_args())
+        _args = p.parse_args()
+        main_b1(_args) if _args.b1 else main(_args)
     except BrokenPipeError:  # `| head` is a normal way to use this
         pass

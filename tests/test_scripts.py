@@ -64,6 +64,21 @@ def test_bench_zoo_and_table(tmp_path, capsys):
     assert "| repvgg_a0 |" in table and "3.14" in table  # reference GPU column present
 
 
+def test_bench_b1_and_table(tmp_path, capsys):
+    """Batch-1 head-to-head sweep (scripts/bench_b1.py): plumbing smoke on CPU
+    (device_ms is 0 there — CPU traces carry no 'XLA Ops' timeline) + renderer."""
+    out_file = tmp_path / "b1.jsonl"
+    _run("bench_b1.py", ["--archs", "repvgg_a0", "--size", "32", "--it", "2", "--out", str(out_file)])
+    rows = [json.loads(line) for line in out_file.read_text().splitlines()]
+    assert rows[0]["arch"] == "repvgg_a0" and rows[0]["batch"] == 1
+    assert rows[0]["ref_gpu_ms"] == 3.14 and rows[0]["queued_ms"] > 0
+    capsys.readouterr()
+
+    _run("gen_bench_table.py", [str(out_file), "--b1"])
+    table = capsys.readouterr().out
+    assert "| repvgg_a0 |" in table and "3.14" in table
+
+
 def test_parity_harness_skips_cleanly_without_reference(tmp_path):
     """scripts/parity/run.py must exit 0 with a SKIP message when the reference
     checkout is absent (graceful degradation contract, VERDICT r2 item 3)."""
