@@ -1,5 +1,5 @@
 from . import collectives
-from .inference import shard_inference
+from .inference import shard_inference, tensor_parallel_specs
 from .mesh import batch_sharding, create_mesh, replicated, shard_batch
 from .multihost import hybrid_mesh, initialize, num_slices
 
@@ -12,4 +12,5 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_inference",
+    "tensor_parallel_specs",
 ]

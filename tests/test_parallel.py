@@ -155,3 +155,37 @@ def test_shard_inference_matches_single_device():
     ref_q = qm(x)
     fwd_q = shard_inference(qm)
     np.testing.assert_allclose(np.asarray(fwd_q(x)), np.asarray(ref_q), atol=1e-5)
+
+
+def test_tensor_parallel_inference_matches_single_device():
+    """Full-backbone channel TP (conv kernels, BN vectors, dense head split over the
+    'model' axis) must reproduce the single-device logits — GSPMD owns the collective
+    placement, we only annotate the weights (parallel/inference.py docstring)."""
+    from holocron_tpu.models.classification.convnext import ConvNeXt
+    from holocron_tpu.models.classification.repvgg import RepVGG
+    from holocron_tpu.models.core import Model
+    from holocron_tpu.parallel import shard_inference, tensor_parallel_specs
+
+    mesh = create_mesh(axes=("data", "model"), model_parallel=4)
+    x = jax.random.normal(jax.random.key(1), (8, 32, 32, 3))
+
+    # plain conv stack (train form: BN batch stats present in the variables)
+    model = Model(RepVGG([1, 1], [8, 16], 1.0, 2.0, num_classes=8))
+    model.init((8, 32, 32, 3))
+    ref = model(x)
+    fwd = shard_inference(model, mesh, tensor_parallel=True, min_channels=8)
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref), atol=1e-4)
+
+    # sharding rule: wide trailing dims split over 'model', narrow/indivisible replicate
+    specs = tensor_parallel_specs(model.variables, mesh, min_channels=8)
+    flat = {jax.tree_util.keystr(p): s for p, s in jax.tree_util.tree_flatten_with_path(specs)[0]}
+    sharded = [k for k, s in flat.items() if s.spec != P()]
+    assert sharded, "expected at least the wide conv kernels to shard"
+    assert all(flat[k].spec[-1] == "model" for k in sharded)
+
+    # depthwise convs + LayerNorm + GELU + dense blocks (ConvNeXt Bottlenext)
+    model = Model(ConvNeXt([1, 1], [16, 32], num_classes=8))
+    model.init((8, 32, 32, 3))
+    ref = model(x)
+    fwd = shard_inference(model, mesh, tensor_parallel=True, min_channels=16)
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref), atol=1e-4)
