@@ -27,6 +27,7 @@ import optax
 from flax import serialization
 
 from ..models.core import Model
+from ..parallel.inference import tensor_parallel_specs
 from ..parallel.mesh import batch_sharding, create_mesh
 from .utils import freeze_model, split_normalization_params
 
@@ -44,6 +45,13 @@ class Trainer:
         optimizer: optax transform, or a factory ``(lr_or_schedule) -> transform``
             (factories enable LR scheduling; our zoo's functions qualify)
         devices: devices for the data-parallel mesh (default: all visible)
+        model_parallel: trailing ``model``-axis size of the mesh. Above 1 the
+            parameters, batch stats and optimizer moments are channel-sharded over
+            that axis (``parallel.tensor_parallel_specs`` — Megatron-style column
+            parallelism) and the batch is sharded over the remaining ``data`` axis:
+            a DP x TP train step with XLA/GSPMD placing the collectives
+        tp_min_channels: narrowest per-channel dimension worth sharding under
+            ``model_parallel`` (narrower leaves replicate)
         output_file: checkpoint destination
         amp: bf16 mixed-precision compute
         skip_nan_loss: skip optimizer updates on non-finite gradients
@@ -71,6 +79,8 @@ class Trainer:
         remat: Union[bool, str] = False,
         partial_batch: str = "pad",
         input_norm: Optional[Tuple[Sequence[float], Sequence[float]]] = None,
+        model_parallel: int = 1,
+        tp_min_channels: int = 64,
     ) -> None:
         if partial_batch not in ("pad", "drop"):
             raise ValueError(f"partial_batch must be 'pad' or 'drop', got {partial_batch!r}")
@@ -94,6 +104,8 @@ class Trainer:
         # /255-mean-std normalization into the jitted step on device
         self.input_norm = input_norm
         self.output_file = output_file
+        self.model_parallel = model_parallel
+        self.tp_min_channels = tp_min_channels
 
         self.step = 0
         self.start_epoch = 0
@@ -113,9 +125,19 @@ class Trainer:
     # device / mesh handling (replaces the reference's single-GPU binding)
     # ------------------------------------------------------------------
     def set_device(self, devices: Optional[Sequence] = None) -> None:
-        """Binds the trainer to a data-parallel mesh over the given devices."""
+        """Binds the trainer to a (data[, model]) mesh over the given devices."""
         self.devices = list(devices) if devices is not None else jax.devices()
-        self.mesh = create_mesh(self.devices, ("data",)) if len(self.devices) > 1 else None
+        mp = getattr(self, "model_parallel", 1)
+        if mp > 1:
+            self.mesh = create_mesh(self.devices, ("data", "model"), model_parallel=mp)
+        elif len(self.devices) > 1:
+            self.mesh = create_mesh(self.devices, ("data",))
+        else:
+            self.mesh = None
+
+    def _data_axis_size(self) -> int:
+        """Number of batch shards — the ``data`` axis of the mesh (1 un-meshed)."""
+        return self.mesh.shape["data"] if self.mesh is not None else 1
 
     def _pad_partial(self, batch, pad: int):
         """Wrap-pads every leading-batch-dim leaf by ``pad`` repeated samples."""
@@ -142,7 +164,7 @@ class Trainer:
         """
         if self.mesh is None:
             return jnp.asarray(x), target if not isinstance(target, (np.ndarray, jnp.ndarray)) else jnp.asarray(target)
-        n = len(self.devices)
+        n = self._data_axis_size()
         rem = int(np.shape(x)[0]) % n
         if rem:
             # "drop" batches never reach here (filtered in the loop); pad the rest
@@ -155,7 +177,7 @@ class Trainer:
         return (
             self.partial_batch == "drop"
             and self.mesh is not None
-            and int(np.shape(x)[0]) % len(self.devices) != 0
+            and int(np.shape(x)[0]) % self._data_axis_size() != 0
         )
 
     # ------------------------------------------------------------------
@@ -229,6 +251,16 @@ class Trainer:
         params = self.model.params
         if params is None:
             raise RuntimeError("model parameters are not initialized — run a forward pass first")
+
+        if self.mesh is not None and "model" in self.mesh.axis_names:
+            # channel-shard params + batch stats over the model axis; the optimizer
+            # moments below are created with zeros_like and inherit these shardings,
+            # so the whole update runs TP without explicit in_shardings on the jit
+            specs = tensor_parallel_specs(
+                self.model.variables, self.mesh, min_channels=self.tp_min_channels
+            )
+            self.model.variables = jax.tree.map(jax.device_put, self.model.variables, specs)
+            params = self.model.params
 
         # true forward order (not flax's name-sorted tree order) for prefix freezing
         order = self.model.forward_order() if freeze_until is not None else None

@@ -236,6 +236,7 @@ def main(args):
         gradient_acc=args.grad_acc,
         gradient_clip=args.grad_clip,
         input_norm=input_norm,
+        model_parallel=args.model_parallel,
     )
     if args.resume:
         print(f"Resuming {args.resume}")
@@ -295,6 +296,12 @@ def parse_args():
 
     group = parser.add_argument_group("Hardware")
     group.add_argument("--amp", help="use bf16 mixed precision", action="store_true")
+    group.add_argument(
+        "--model-parallel",
+        default=1,
+        type=int,
+        help="channel tensor-parallel factor (mesh 'model' axis); batch shards over the rest",
+    )
 
     group = parser.add_argument_group("Data loading")
     group.add_argument("--seed", default=0, type=int, help="pipeline seed (shuffle, native RRC/flip, augment tail, mixup)")

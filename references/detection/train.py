@@ -125,6 +125,7 @@ def main(args):
         output_file=args.output_file,
         amp=args.amp,
         gradient_acc=args.grad_acc,
+        model_parallel=args.model_parallel,
         gradient_clip=args.grad_clip,
     )
     if args.resume:
@@ -169,6 +170,12 @@ def parse_args():
     parser.add_argument("--resume", default="")
     parser.add_argument("--fake-samples", default=32, type=int)
     parser.add_argument("--amp", action="store_true")
+    parser.add_argument(
+        "--model-parallel",
+        default=1,
+        type=int,
+        help="channel tensor-parallel factor (mesh 'model' axis); batch shards over the rest",
+    )
     parser.add_argument("-b", "--batch-size", default=8, type=int)
     parser.add_argument("-j", "--workers", default=8, type=int)
     parser.add_argument("--img-size", default=416, type=int)

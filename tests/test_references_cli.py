@@ -47,6 +47,22 @@ def test_classification_cli_fake(monkeypatch, tmp_path):
 # coverage.
 
 
+def test_classification_cli_fake_tensor_parallel(monkeypatch, tmp_path):
+    """--model-parallel 2 trains DP x TP over the 8-device mesh (4-way data, 2-way
+    channel tensor parallelism) end-to-end through the CLI."""
+    _run(
+        monkeypatch,
+        ROOT / "references" / "classification" / "train.py",
+        [
+            "fake", "--arch", "darknet19", "--epochs", "1", "-b", "8", "--fake-samples", "16",
+            "--train-crop-size", "32", "--val-resize-size", "40", "--val-crop-size", "32",
+            "--num-classes", "4", "--mixup-alpha", "0", "-j", "2", "--model-parallel", "2",
+            "--output-file", str(tmp_path / "ckpt.mpk"),
+        ],
+    )
+    assert (tmp_path / "ckpt.mpk").exists()
+
+
 def test_segmentation_cli_fake(monkeypatch, tmp_path):
     _run(
         monkeypatch,

@@ -517,3 +517,33 @@ def test_sharded_matches_single_device_trajectory():
     np.testing.assert_allclose(losses_1, losses_8, rtol=2e-5, atol=2e-6)
     for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_8)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_tensor_parallel_trajectory_matches_single_device():
+    """DP x TP training (4-way data, 2-way channel tensor parallelism with the conv
+    kernels / BN vectors / moments split over the 'model' axis) must reproduce the
+    single-device trajectory — the Trainer(model_parallel=...) contract."""
+    from jax.sharding import PartitionSpec as P
+
+    def run(**kw):
+        trainer = make_trainer(
+            model=tiny_model(),
+            train_loader=MockLoader(batch_size=8),
+            val_loader=MockLoader(batch_size=8, seed=1),
+            **kw,
+        )
+        losses = trainer.check_setup(lr=5e-3, num_it=8)
+        return losses, trainer
+
+    losses_1, t1 = run(devices=jax.devices()[:1])
+    losses_tp, ttp = run(model_parallel=2, tp_min_channels=4)
+    assert ttp.mesh.devices.shape == (4, 2)
+    # the wide conv kernels must actually live sharded over the 'model' axis
+    specs = {s.spec for leaf in jax.tree.leaves(ttp.model.params) for s in [leaf.sharding]}
+    assert any(spec and spec[-1] == "model" for spec in specs), specs
+    np.testing.assert_allclose(losses_1, losses_tp, rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(t1.model.params), jax.tree.leaves(ttp.model.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+    # eval path consumes the TP-sharded variables too
+    metrics = ttp.evaluate()
+    assert math.isfinite(metrics["val_loss"])
