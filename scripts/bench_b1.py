@@ -75,32 +75,33 @@ def bench_one(arch: str, size: int, iters: int) -> dict:
 
     x = jax.random.normal(jax.random.key(0), (1, size, size, 3), jnp.bfloat16)
 
-    def build(form):
+    def measure(form):
         if form == "const":
             # const-weights deploy form: weights baked into the executable
-            f = jax.jit(lambda inp: module.apply(variables, inp, train=False))
-        else:
-            inner = jax.jit(lambda v, inp: module.apply(v, inp, train=False))
-            f = lambda inp: inner(variables, inp)  # noqa: E731
-        jax.device_get(f(x))
-        return f
+            fwd = jax.jit(lambda inp: module.apply(variables, inp, train=False))
+            jax.device_get(fwd(x))
+            return fwd, device_op_summary(fwd, x, iters=iters)
+        inner = jax.jit(lambda v, inp: module.apply(v, inp, train=False))
+        fwd = lambda inp: inner(variables, inp)  # noqa: E731
+        jax.device_get(fwd(x))
+        # weights must be EXPLICIT args to the profiling helper: it re-jits its fn,
+        # and re-jitting the `fwd` closure would bake the weights back in as
+        # constants — recreating the const form (and its 413) under another name
+        return fwd, device_op_summary(inner, variables, x, iters=iters)
 
     # The remote-compile service rejects const-form HLO past ~200 MB of embedded
     # weights (HTTP 413 — measured: 181 MB repvgg_b1 compiles, 283 MB repvgg_b2 does
     # not), and a doomed attempt costs minutes of compile time — skip const outright
-    # for models past the threshold. The profiling helper re-jits, so the limit can
-    # fire on EITHER compile of the const form: fall back to args on any failure.
+    # for models past the threshold.
     param_bytes = sum(t.size * t.dtype.itemsize for t in jax.tree.leaves(variables))
     form = "const" if param_bytes < 200e6 else "args"
     try:
-        fwd = build(form)
-        summary = device_op_summary(fwd, x, iters=iters)
+        fwd, summary = measure(form)
     except Exception:  # noqa: BLE001
         if form == "args":
             raise
         form = "args"
-        fwd = build(form)
-        summary = device_op_summary(fwd, x, iters=iters)
+        fwd, summary = measure(form)
 
     # pipelined wall time: queue all iterations, one sync
     t0 = time.perf_counter()
