@@ -523,7 +523,6 @@ def test_tensor_parallel_trajectory_matches_single_device():
     """DP x TP training (4-way data, 2-way channel tensor parallelism with the conv
     kernels / BN vectors / moments split over the 'model' axis) must reproduce the
     single-device trajectory — the Trainer(model_parallel=...) contract."""
-    from jax.sharding import PartitionSpec as P
 
     def run(**kw):
         trainer = make_trainer(
