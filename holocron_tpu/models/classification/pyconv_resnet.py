@@ -40,6 +40,7 @@ class PyBottleneck(nn.Module):
     avg_downsample: bool = False
     zero_init_residual: bool = False
     num_levels: int = 2
+    dense_groups: Optional[bool] = None  # None = PyConv2d's measured auto rule
     dtype: Optional[Any] = None
 
     expansion = 4
@@ -66,6 +67,7 @@ class PyBottleneck(nn.Module):
                 groups=groups,
                 use_bias=use_bias,
                 stride=stride,
+                dense_groups=self.dense_groups,
                 dtype=dtype,
                 name=name,
             )

@@ -18,6 +18,12 @@ __all__ = ["Add2d", "Involution2d", "NormConv2d", "PyConv2d", "SlimConv2d"]
 
 _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "circular": "wrap"}
 
+# Auto-rule crossover for PyConv2d's masked-dense grouped execution: XLA's grouped
+# emitter packs the batch into sublanes, so it recovers once the batch is deep
+# enough; below this batch (and with per-group inputs narrower than 32 lanes) the
+# block-diagonal dense form wins by 27-77x (measured on v5e, docs/PERF.md).
+PYCONV_DENSE_GROUPS_MAX_BATCH = 32
+
 
 def _explicit_pad(x: jax.Array, padding: Tuple[int, int], padding_mode: str) -> jax.Array:
     ph, pw = padding
@@ -140,12 +146,69 @@ class SlimConv2d(nn.Module):
         return jnp.concatenate([x_top, x_bot], axis=-1)
 
 
+class _MaskedDenseGroupConv(nn.Module):
+    """Grouped conv executed as a DENSE conv with a block-diagonal kernel.
+
+    Grouped convs whose per-group contraction is narrower than the MXU's 128 lanes
+    leave the systolic array almost idle: XLA's grouped-conv emitter falls back to a
+    window-walking schedule measured at 28 ms for ONE 9x9 g=16 conv on a 112px
+    batch-1 input (pyconv_resnet50's level3, docs/PERF.md) — slower than the entire
+    rest of the network. Expanding the grouped kernel to a zero-padded dense one
+    costs ``groups`` x the FLOPs but runs as a single full-tile MXU conv, which is
+    orders of magnitude faster at these widths.
+
+    The parameter keeps the grouped ``(kh, kw, in/groups, out)`` layout (identical
+    names, shapes, init and checkpoint conversion as ``nn.Conv`` with
+    ``feature_group_count``) — only the execution differs, and the zero expansion
+    folds into the jit (a constant under the const-weights deploy protocol).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    groups: int
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    kernel_init: Optional[object] = None
+    dtype: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        g = self.groups
+        in_pg = x.shape[-1] // g
+        out_pg = self.features // g
+        kernel = self.param(
+            "kernel", self.kernel_init or kaiming_normal(), (kh, kw, in_pg, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,)) if self.use_bias else None
+        if self.dtype is not None:
+            x, kernel = x.astype(self.dtype), kernel.astype(self.dtype)
+            bias = None if bias is None else bias.astype(self.dtype)
+        # block-diagonal expansion: input channel G*in_pg+i feeds output channel
+        # go*out_pg+o iff G == go; everything off-group is an exact zero
+        k5 = kernel.reshape(kh, kw, in_pg, g, out_pg)  # (h, w, i, go, o)
+        eye = jnp.eye(g, dtype=kernel.dtype)  # (G, go)
+        dense = jnp.einsum("hwigo,Gg->hwGigo", k5, eye).reshape(kh, kw, g * in_pg, g * out_pg)
+        out = jax.lax.conv_general_dilated(
+            x,
+            dense,
+            window_strides=self.strides,
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out if bias is None else out + bias
+
+
 class PyConv2d(nn.Module):
     """Pyramidal convolution (`Duta et al. <https://arxiv.org/pdf/2006.11538.pdf>`_):
     parallel convs with growing kernel sizes / groups, outputs channel-concatenated.
 
     Reference: holocron/nn/modules/conv.py:373-438 (incl. the power-of-two channel split
-    and default group schedule).
+    and default group schedule). Grouped levels whose per-group input width is below
+    the MXU lane count execute via :class:`_MaskedDenseGroupConv` (same parameters,
+    measured orders-of-magnitude faster on TPU — docs/PERF.md); set
+    ``dense_groups=False`` to force XLA's native grouped lowering.
     """
 
     out_channels: int
@@ -156,6 +219,7 @@ class PyConv2d(nn.Module):
     use_bias: bool = True
     stride: int = 1
     dtype: Optional[object] = None
+    dense_groups: Optional[bool] = None  # None = auto (dense when in/g < 32)
 
     def _level_plan(self) -> Tuple[List[int], List[int], List[int], List[int]]:
         if self.num_levels == 1:
@@ -181,20 +245,38 @@ class PyConv2d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         out_chans, k_sizes, paddings, groups = self._level_plan()
-        outs = [
-            nn.Conv(
-                oc,
-                (k, k),
-                strides=(self.stride, self.stride),
-                padding=p,
-                feature_group_count=g,
-                use_bias=self.use_bias,
-                kernel_init=kaiming_normal(),
-                dtype=self.dtype,
-                name=f"level{idx}",
-            )(x)
-            for idx, (oc, k, p, g) in enumerate(zip(out_chans, k_sizes, paddings, groups))
-        ]
+        outs = []
+        for idx, (oc, k, p, g) in enumerate(zip(out_chans, k_sizes, paddings, groups)):
+            use_dense = (
+                self.dense_groups
+                if self.dense_groups is not None
+                else (x.shape[-1] // g < 32 and x.shape[0] <= PYCONV_DENSE_GROUPS_MAX_BATCH)
+            )
+            if g > 1 and use_dense:
+                conv = _MaskedDenseGroupConv(
+                    oc,
+                    (k, k),
+                    groups=g,
+                    strides=(self.stride, self.stride),
+                    padding=p,
+                    use_bias=self.use_bias,
+                    kernel_init=kaiming_normal(),
+                    dtype=self.dtype,
+                    name=f"level{idx}",
+                )
+            else:
+                conv = nn.Conv(
+                    oc,
+                    (k, k),
+                    strides=(self.stride, self.stride),
+                    padding=p,
+                    feature_group_count=g,
+                    use_bias=self.use_bias,
+                    kernel_init=kaiming_normal(),
+                    dtype=self.dtype,
+                    name=f"level{idx}",
+                )
+            outs.append(conv(x))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 

@@ -170,6 +170,24 @@ def test_pyconv2d(x):
         _init_and_apply(nn.PyConv2d(out_channels=16, kernel_size=3, num_levels=2, padding=1, groups=[1, 2, 4]), x)
 
 
+def test_pyconv2d_masked_dense_matches_grouped():
+    """The MXU-friendly block-diagonal dense execution of grouped levels must be
+    numerically identical to XLA's native grouped lowering, on the SAME parameter
+    tree (the fix for the measured grouped-conv cliff, docs/PERF.md)."""
+    x = jax.random.normal(jax.random.key(3), (2, 17, 17, 64))
+    for groups in ([1, 4, 8, 16], [1, 4]):
+        nl = len(groups)
+        dense = nn.PyConv2d(64, 3, num_levels=nl, padding=1, groups=groups, dense_groups=True)
+        native = nn.PyConv2d(64, 3, num_levels=nl, padding=1, groups=groups, dense_groups=False)
+        v = dense.init(jax.random.key(1), x)
+        vn = native.init(jax.random.key(1), x)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vn)
+        assert all(a.shape == b.shape for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(vn)))
+        np.testing.assert_allclose(
+            np.asarray(dense.apply(v, x)), np.asarray(native.apply(v, x)), atol=2e-5
+        )
+
+
 def test_involution(x):
     module = nn.Involution2d(kernel_size=3, padding=1, reduction_ratio=2)
     out, _ = _init_and_apply(module, x)
