@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..nn.modules.conv import _MaskedDenseGroupConv, masked_dense_groups_wins
 from ..nn.modules.downsample import BlurPool2d
 from ..nn.init import kaiming_normal
 from .checkpoints import (
@@ -86,6 +87,23 @@ class ConvSequence(nn.Module):
                 dilation=self.dilation,
                 groups=self.groups,
                 use_bias=use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        elif self.groups > 1 and masked_dense_groups_wins(x.shape[0], x.shape[-1] // self.groups):
+            # grouped convs with narrow per-group contractions hit XLA's small-batch
+            # grouped-emitter cliff (measured 21x on batch-1 resnext50_32x4d); run
+            # them as a block-diagonal dense MXU conv — identical parameters/layout,
+            # equality + crossover measurements in docs/PERF.md
+            x = _MaskedDenseGroupConv(
+                self.out_channels,
+                ksize,
+                groups=self.groups,
+                strides=(stride, stride),
+                padding=self.padding,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=use_bias,
+                kernel_init=kaiming_normal(),
                 dtype=self.dtype,
                 name="conv",
             )(x)

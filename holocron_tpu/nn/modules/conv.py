@@ -18,11 +18,19 @@ __all__ = ["Add2d", "Involution2d", "NormConv2d", "PyConv2d", "SlimConv2d"]
 
 _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "circular": "wrap"}
 
-# Auto-rule crossover for PyConv2d's masked-dense grouped execution: XLA's grouped
+# Auto-rule crossover for the masked-dense grouped-conv execution: XLA's grouped
 # emitter packs the batch into sublanes, so it recovers once the batch is deep
 # enough; below this batch (and with per-group inputs narrower than 32 lanes) the
 # block-diagonal dense form wins by 27-77x (measured on v5e, docs/PERF.md).
-PYCONV_DENSE_GROUPS_MAX_BATCH = 32
+DENSE_GROUPS_MAX_BATCH = 32
+
+
+def masked_dense_groups_wins(batch: int, in_per_group: int) -> bool:
+    """Measured auto rule: narrow per-group contractions under-fill the MXU and hit
+    XLA's small-batch grouped-emitter cliff; depthwise (in_per_group == 1) is
+    excluded — XLA has a dedicated lowering for it that is already fast at batch 1
+    (rexnet/mobileone measure at full speed)."""
+    return 1 < in_per_group < 32 and batch <= DENSE_GROUPS_MAX_BATCH
 
 
 def _explicit_pad(x: jax.Array, padding: Tuple[int, int], padding_mode: str) -> jax.Array:
@@ -167,7 +175,8 @@ class _MaskedDenseGroupConv(nn.Module):
     kernel_size: Tuple[int, int]
     groups: int
     strides: Tuple[int, int] = (1, 1)
-    padding: int = 0
+    padding: Union[int, str, Tuple[int, int]] = 0
+    kernel_dilation: Tuple[int, int] = (1, 1)
     use_bias: bool = True
     kernel_init: Optional[object] = None
     dtype: Optional[object] = None
@@ -190,11 +199,17 @@ class _MaskedDenseGroupConv(nn.Module):
         k5 = kernel.reshape(kh, kw, in_pg, g, out_pg)  # (h, w, i, go, o)
         eye = jnp.eye(g, dtype=kernel.dtype)  # (G, go)
         dense = jnp.einsum("hwigo,Gg->hwGigo", k5, eye).reshape(kh, kw, g * in_pg, g * out_pg)
+        if isinstance(self.padding, str):
+            padding = self.padding
+        else:
+            ph, pw = _pair(self.padding)
+            padding = ((ph, ph), (pw, pw))
         out = jax.lax.conv_general_dilated(
             x,
             dense,
             window_strides=self.strides,
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            padding=padding,
+            rhs_dilation=self.kernel_dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return out if bias is None else out + bias
@@ -250,7 +265,7 @@ class PyConv2d(nn.Module):
             use_dense = (
                 self.dense_groups
                 if self.dense_groups is not None
-                else (x.shape[-1] // g < 32 and x.shape[0] <= PYCONV_DENSE_GROUPS_MAX_BATCH)
+                else masked_dense_groups_wins(x.shape[0], x.shape[-1] // g)
             )
             if g > 1 and use_dense:
                 conv = _MaskedDenseGroupConv(

@@ -75,6 +75,29 @@ def test_conv_sequence_bias_auto_off():
     assert "bias" in v["params"]["conv"]
 
 
+def test_conv_sequence_masked_dense_groups():
+    """Grouped convs with narrow per-group inputs run as block-diagonal dense MXU
+    convs at small batch (docs/PERF.md crossover) — the two execution paths must
+    share one parameter tree and agree numerically; depthwise must NOT switch."""
+    from holocron_tpu.nn.modules.conv import masked_dense_groups_wins
+
+    x_small = jax.random.normal(jax.random.key(0), (2, 9, 9, 64))
+    x_big = jnp.tile(x_small, (20, 1, 1, 1))  # batch 40: above the crossover
+    cs = ConvSequence(64, kernel_size=3, padding=1, groups=32, norm_layer=True)
+    v = cs.init(jax.random.key(1), x_small, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        cs.init(jax.random.key(1), x_big, train=False)
+    )
+    out_small = cs.apply(v, x_small, train=False)  # masked-dense path
+    out_big = cs.apply(v, x_big, train=False)  # native grouped path
+    np.testing.assert_allclose(np.asarray(out_big[:2]), np.asarray(out_small), atol=3e-5)
+
+    assert masked_dense_groups_wins(1, 4) and masked_dense_groups_wins(32, 31)
+    assert not masked_dense_groups_wins(1, 1)  # depthwise: XLA's lowering is fast
+    assert not masked_dense_groups_wins(64, 4)  # above the batch crossover
+    assert not masked_dense_groups_wins(1, 64)  # wide groups fill the MXU natively
+
+
 def test_conv_sequence_bn_channels():
     # bn_channels overrides the norm width (the TridentNet 3x-width trick)
     from holocron_tpu.models.classification.tridentnet import TridentConv2d
