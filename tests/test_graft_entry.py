@@ -15,7 +15,7 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
 
-def _run_in_subprocess(code: str) -> subprocess.CompletedProcess:
+def _run_in_subprocess(code: str, timeout: int = 600) -> subprocess.CompletedProcess:
     env = os.environ.copy()
     # the driver does NOT set these; make sure we don't inherit them from conftest
     env.pop("JAX_PLATFORMS", None)
@@ -26,7 +26,7 @@ def _run_in_subprocess(code: str) -> subprocess.CompletedProcess:
         env=env,
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=timeout,
     )
 
 
@@ -43,6 +43,15 @@ def test_dryrun_multichip_driver_style_after_jax_import():
     # harsher variant: the driver env may have already initialized a backend
     # (axon registers a single TPU). The function must still obtain an
     # 8-device CPU mesh by resetting backends.
+    # Backend INIT in the default env touches the axon tunnel; when the tunnel is
+    # down, jax.devices() hangs — an infra outage, not a contract failure. Probe
+    # first and skip rather than burning the full 600 s timeout.
+    import pytest
+
+    try:
+        _run_in_subprocess("import jax; jax.devices()", timeout=120)
+    except subprocess.TimeoutExpired:
+        pytest.skip("default-env jax backend (axon tunnel) unresponsive — infra outage")
     res = _run_in_subprocess(
         "import jax; jax.devices(); "
         "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN_OK')"
