@@ -97,6 +97,17 @@ def test_conv_sequence_masked_dense_groups():
     assert not masked_dense_groups_wins(64, 4)  # above the batch crossover
     assert not masked_dense_groups_wins(1, 64)  # wide groups fill the MXU natively
 
+    # gradients through the dense path equal the native grouped gradients (the
+    # small-batch TRAINING path runs dense too — off-group weight grads are killed
+    # by the zero mask). Eval-mode BN makes samples independent, and x_big is
+    # x_small tiled 20x, so native-grad(big) == 20 * dense-grad(small) exactly.
+    def loss(v, xx):
+        return jnp.sum(cs.apply(v, xx, train=False) ** 2)
+
+    g_dense = jax.grad(loss)(v, x_small)["params"]["conv"]["kernel"]
+    g_native = jax.grad(loss)(v, x_big)["params"]["conv"]["kernel"]
+    np.testing.assert_allclose(np.asarray(g_native), 20 * np.asarray(g_dense), rtol=2e-4, atol=2e-3)
+
 
 def test_conv_sequence_bn_channels():
     # bn_channels overrides the norm width (the TridentNet 3x-width trick)
