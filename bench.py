@@ -25,6 +25,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _backend_responsive(timeout: int = 300) -> bool:
+    """Probes the default jax backend in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel can die in a way where backend init / a trivial jit never
+    returns (observed: >2 h outage mid round 3) — an in-process call can't be
+    cancelled, so the probe must be a killable child. A healthy tunnel completes
+    this in ~15-30 s including the compile round-trip."""
+    import subprocess
+    import sys
+
+    code = "import jax, jax.numpy as jnp; jax.device_get(jax.jit(lambda a: a * 2)(jnp.ones((4,))))"
+    try:
+        return subprocess.run([sys.executable, "-c", code], timeout=timeout, capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _throughput(fwd, args, batch: int, iters: int = 100) -> float:
     # warmup (includes compile); device_get forces a real round-trip sync (the
     # experimental tunnel platform's block_until_ready is unreliable)
@@ -55,6 +72,25 @@ def _naturalistic_batch(key, batch: int, size: int, dtype=jnp.float32) -> jax.Ar
 def main() -> None:
     from holocron_tpu.models import repvgg_a0
     from holocron_tpu.quant import measure_agreement, quantize_model
+
+    # preflight: never hang the driver on a dead tunnel — report instead
+    if os.environ.get("HOLOCRON_BENCH_NO_PREFLIGHT") != "1":
+        for attempt in range(3):
+            if _backend_responsive():
+                break
+            time.sleep(60)
+        else:
+            print(
+                json.dumps({
+                    "metric": "repvgg_a0 224px inference throughput — NOT MEASURED: "
+                    "TPU backend unresponsive (tunnel outage; trivial jit never returned "
+                    "in 3x300s subprocess probes)",
+                    "value": 0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0.0,
+                })
+            )
+            return
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     agreement_floor = float(os.environ.get("HOLOCRON_INT8_AGREEMENT", "0.99"))
