@@ -2,6 +2,8 @@ from . import collectives
 from .inference import shard_inference, tensor_parallel_specs
 from .mesh import batch_sharding, create_mesh, replicated, shard_batch
 from .multihost import hybrid_mesh, initialize, num_slices
+from .pipeline import pipeline_blocks
+from .spatial import shard_spatial_inference, spatial_sharding
 
 __all__ = [
     "batch_sharding",
@@ -9,8 +11,11 @@ __all__ = [
     "hybrid_mesh",
     "initialize",
     "num_slices",
+    "pipeline_blocks",
     "replicated",
     "shard_batch",
     "shard_inference",
+    "shard_spatial_inference",
+    "spatial_sharding",
     "tensor_parallel_specs",
 ]

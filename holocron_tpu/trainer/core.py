@@ -52,6 +52,12 @@ class Trainer:
             a DP x TP train step with XLA/GSPMD placing the collectives
         tp_min_channels: narrowest per-channel dimension worth sharding under
             ``model_parallel`` (narrower leaves replicate)
+        spatial_parallel: trailing ``spatial``-axis size of the mesh. Above 1 the
+            image height of every batch (and of dense targets like segmentation
+            masks) is sharded over that axis — spatial partitioning, the path to
+            training at resolutions whose activations exceed one chip's HBM.
+            XLA/GSPMD places the halo exchanges at the conv seams
+            (``parallel/spatial.py``). Mutually exclusive with ``model_parallel``
         output_file: checkpoint destination
         amp: bf16 mixed-precision compute
         skip_nan_loss: skip optimizer updates on non-finite gradients
@@ -81,6 +87,7 @@ class Trainer:
         input_norm: Optional[Tuple[Sequence[float], Sequence[float]]] = None,
         model_parallel: int = 1,
         tp_min_channels: int = 64,
+        spatial_parallel: int = 1,
     ) -> None:
         if partial_batch not in ("pad", "drop"):
             raise ValueError(f"partial_batch must be 'pad' or 'drop', got {partial_batch!r}")
@@ -106,6 +113,7 @@ class Trainer:
         self.output_file = output_file
         self.model_parallel = model_parallel
         self.tp_min_channels = tp_min_channels
+        self.spatial_parallel = spatial_parallel
 
         self.step = 0
         self.start_epoch = 0
@@ -128,7 +136,15 @@ class Trainer:
         """Binds the trainer to a (data[, model]) mesh over the given devices."""
         self.devices = list(devices) if devices is not None else jax.devices()
         mp = getattr(self, "model_parallel", 1)
-        if mp > 1:
+        sp = getattr(self, "spatial_parallel", 1)
+        if mp > 1 and sp > 1:
+            raise ValueError(
+                "model_parallel and spatial_parallel cannot be combined — pick one "
+                "(data parallelism composes with either over the leading axis)"
+            )
+        if sp > 1:
+            self.mesh = create_mesh(self.devices, ("data", "spatial"), model_parallel=sp)
+        elif mp > 1:
             self.mesh = create_mesh(self.devices, ("data", "model"), model_parallel=mp)
         elif len(self.devices) > 1:
             self.mesh = create_mesh(self.devices, ("data",))
@@ -171,6 +187,24 @@ class Trainer:
             pad = n - rem
             x, target = self._pad_partial((x, target), pad)
         sharding = batch_sharding(self.mesh)
+        if "spatial" in self.mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_sp = self.mesh.shape["spatial"]
+            h, w = int(np.shape(x)[1]), int(np.shape(x)[2])
+            if h % n_sp != 0:
+                raise ValueError(
+                    f"spatial_parallel={n_sp} needs the image height to divide; got H={h}"
+                )
+            sp_sharding = NamedSharding(self.mesh, P("data", "spatial"))
+
+            def put_target(t):
+                # dense per-pixel targets (seg masks (N, H, W[, C])) shard with the
+                # image; everything else (labels, padded box dicts) batch-shards only
+                dense = np.ndim(t) >= 3 and np.shape(t)[1] == h and np.shape(t)[2] == w
+                return jax.device_put(t, sp_sharding if dense else sharding)
+
+            return jax.device_put(x, sp_sharding), jax.tree.map(put_target, target)
         return jax.device_put(x, sharding), jax.tree.map(lambda t: jax.device_put(t, sharding), target)
 
     def _is_dropped_batch(self, x) -> bool:

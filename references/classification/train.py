@@ -237,6 +237,7 @@ def main(args):
         gradient_clip=args.grad_clip,
         input_norm=input_norm,
         model_parallel=args.model_parallel,
+        spatial_parallel=args.spatial_parallel,
     )
     if args.resume:
         print(f"Resuming {args.resume}")
@@ -301,6 +302,12 @@ def parse_args():
         default=1,
         type=int,
         help="channel tensor-parallel factor (mesh 'model' axis); batch shards over the rest",
+    )
+    parser.add_argument(
+        "--spatial-parallel",
+        default=1,
+        type=int,
+        help="spatial-partitioning factor (mesh 'spatial' axis): image height sharded, halo exchanges GSPMD-placed",
     )
 
     group = parser.add_argument_group("Data loading")

@@ -113,6 +113,7 @@ def main(args):
         amp=args.amp,
         gradient_acc=args.grad_acc,
         model_parallel=args.model_parallel,
+        spatial_parallel=args.spatial_parallel,
         num_classes=args.num_classes,
     )
     if args.resume:
@@ -161,6 +162,12 @@ def parse_args():
         default=1,
         type=int,
         help="channel tensor-parallel factor (mesh 'model' axis); batch shards over the rest",
+    )
+    parser.add_argument(
+        "--spatial-parallel",
+        default=1,
+        type=int,
+        help="spatial-partitioning factor (mesh 'spatial' axis): image height sharded, halo exchanges GSPMD-placed",
     )
     parser.add_argument("-b", "--batch-size", default=16, type=int)
     parser.add_argument("-j", "--workers", default=8, type=int)

@@ -189,3 +189,150 @@ def test_tensor_parallel_inference_matches_single_device():
     ref = model(x)
     fwd = shard_inference(model, mesh, tensor_parallel=True, min_channels=16)
     np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(ref), atol=1e-4)
+
+
+def test_spatial_inference_matches_single_device():
+    """Spatial partitioning (H sharded over the mesh, params replicated): GSPMD's
+    halo exchanges must reproduce the single-device output exactly — for a U-Net
+    (convs, pools, bilinear upsampling, skip concats) and for a classifier whose
+    global pool reduces the sharded axis away (parallel/spatial.py)."""
+    from holocron_tpu.models.classification.repvgg import RepVGG
+    from holocron_tpu.models.core import Model
+    from holocron_tpu.models.segmentation.unet import UNet
+    from holocron_tpu.parallel import shard_spatial_inference
+
+    model = Model(UNet([8, 16], num_classes=4))
+    model.init((2, 64, 64, 3))
+    x = jax.random.normal(jax.random.key(0), (2, 64, 64, 3))
+    ref = model(x)
+
+    fwd_sp = shard_spatial_inference(model)  # default ("spatial",) mesh, 8-way H split
+    np.testing.assert_allclose(np.asarray(fwd_sp(x)), np.asarray(ref), atol=1e-5)
+
+    # huge-map form: leave the output sharded instead of replicating it everywhere
+    fwd_sharded = shard_spatial_inference(model, gather_output=False)
+    out = fwd_sharded(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # DP x SP mesh: batch over "data", rows over "spatial"
+    mesh = create_mesh(axes=("data", "spatial"), model_parallel=4)
+    fwd_dpsp = shard_spatial_inference(model, mesh, batch_axis="data")
+    np.testing.assert_allclose(np.asarray(fwd_dpsp(x)), np.asarray(ref), atol=1e-5)
+
+    # classification: the sharded H axis ends at the global pool (psum over shards)
+    clf = Model(RepVGG([1, 1], [8, 16], 1.0, 2.0, num_classes=8))
+    clf.init((2, 64, 64, 3))
+    ref_logits = clf(x)
+    fwd_clf = shard_spatial_inference(clf)
+    np.testing.assert_allclose(np.asarray(fwd_clf(x)), np.asarray(ref_logits), atol=1e-5)
+
+    mesh1 = create_mesh(axes=("spatial",))
+    with pytest.raises(ValueError):
+        shard_spatial_inference(model, mesh1, batch_axis="data")
+
+
+def test_spatial_train_step_matches_replicated():
+    """Gradients through a spatially-sharded forward (halo exchanges in the backward
+    too) must equal the replicated step's — H-sharded training is what makes
+    resolutions whose activations exceed one chip's HBM trainable at all."""
+    from holocron_tpu.models.core import Model
+    from holocron_tpu.models.segmentation.unet import UNet
+    from holocron_tpu.nn import functional as F
+    from holocron_tpu.parallel import create_mesh, spatial_sharding
+    from jax.sharding import NamedSharding
+
+    mesh = create_mesh(axes=("spatial",))
+    model = Model(UNet([8, 16], num_classes=4))
+    model.init((2, 32, 32, 3))
+    module, variables = model.module, model.variables
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    y = jax.random.randint(jax.random.key(2), (2, 32, 32), 0, 4)
+
+    def loss_fn(params, stats, x, y):
+        logits, _ = module.apply({"params": params, **stats}, x, train=True, mutable=list(stats))
+        return F.cross_entropy(logits, y)
+
+    params = variables["params"]
+    stats = {k: v for k, v in variables.items() if k != "params"}
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, stats, x, y)
+
+    x_sp = spatial_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    step = jax.jit(
+        jax.value_and_grad(loss_fn), in_shardings=(None, None, x_sp, x_sp), out_shardings=(repl, repl)
+    )
+    loss, grads = step(
+        jax.device_put(params, repl),
+        jax.device_put(stats, repl),
+        jax.device_put(x, x_sp),
+        jax.device_put(y, x_sp),
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(grads)[0],
+        jax.tree_util.tree_flatten_with_path(ref_grads)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=f"spatial grads diverge at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_pipeline_blocks_matches_sequential():
+    """GPipe over a stack of shape-preserving residual blocks (parallel/pipeline.py):
+    microbatches stream through per-device stage groups via ppermute; the result —
+    and its gradients, GPipe's raison d'etre — must equal folding the blocks
+    sequentially on one device."""
+    from holocron_tpu.parallel import pipeline_blocks
+
+    s, c = 8, 4
+    params = {
+        "w": jax.random.normal(jax.random.key(0), (s, 3, 3, c, c)) * 0.1,
+        "b": jax.random.normal(jax.random.key(1), (s, c)) * 0.1,
+    }
+
+    def block_fn(p, x):
+        y = jax.lax.conv_general_dilated(
+            x, p["w"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return jax.nn.relu(y + p["b"]) + x
+
+    x = jax.random.normal(jax.random.key(2), (8, 8, 8, c))
+    ref = x
+    for i in range(s):
+        ref = block_fn(jax.tree.map(lambda t: t[i], params), ref)
+
+    out = pipeline_blocks(block_fn, params, x)  # 8 stages, 1 block each
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # 4 stages x 2 blocks each (inner scan), more microbatches to shrink the bubble
+    mesh4 = create_mesh(jax.devices()[:4], axes=("pipe",))
+    out4 = pipeline_blocks(block_fn, params, x, mesh4, num_microbatches=8)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref), atol=1e-5)
+
+    # gradients flow backward through the pipeline hops
+    def loss_pipe(p):
+        return jnp.sum(pipeline_blocks(block_fn, p, x, mesh4) ** 2)
+
+    def loss_seq(p):
+        y = x
+        for i in range(s):
+            y = block_fn(jax.tree.map(lambda t: t[i], p), y)
+        return jnp.sum(y**2)
+
+    g_pipe = jax.grad(loss_pipe)(params)
+    g_seq = jax.grad(loss_seq)(params)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_pipe)[0],
+        jax.tree_util.tree_flatten_with_path(g_seq)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=f"pipeline grads diverge at {jax.tree_util.keystr(path)}",
+        )
+
+    with pytest.raises(ValueError):
+        pipeline_blocks(block_fn, params, x, num_microbatches=3)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        mesh3 = create_mesh(jax.devices()[:3], axes=("pipe",))
+        pipeline_blocks(block_fn, params, x, mesh3)  # 8 blocks % 3 stages != 0

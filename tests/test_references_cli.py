@@ -76,6 +76,22 @@ def test_segmentation_cli_fake(monkeypatch, tmp_path):
     assert (tmp_path / "ckpt.mpk").exists()
 
 
+def test_segmentation_cli_spatial_parallel(monkeypatch, tmp_path):
+    """--spatial-parallel trains with the image rows (and masks) sharded over the
+    mesh's 'spatial' axis — the CLI surface of Trainer(spatial_parallel=k)."""
+    _run(
+        monkeypatch,
+        ROOT / "references" / "segmentation" / "train.py",
+        [
+            "fake", "--arch", "unet", "--epochs", "1", "-b", "8", "--fake-samples", "16",
+            "--crop-size", "32", "--num-classes", "3", "-j", "2",
+            "--spatial-parallel", "2",
+            "--output-file", str(tmp_path / "ckpt.mpk"),
+        ],
+    )
+    assert (tmp_path / "ckpt.mpk").exists()
+
+
 def test_detection_cli_fake(monkeypatch, tmp_path):
     _run(
         monkeypatch,

@@ -546,3 +546,59 @@ def test_tensor_parallel_trajectory_matches_single_device():
     # eval path consumes the TP-sharded variables too
     metrics = ttp.evaluate()
     assert math.isfinite(metrics["val_loss"])
+
+
+def test_spatial_parallel_trajectory_matches_single_device():
+    """DP x SP training (batch over 'data', image rows over 'spatial', halo
+    exchanges GSPMD-placed at the conv seams) must reproduce the single-device
+    trajectory — the Trainer(spatial_parallel=...) contract. Uses a segmentation
+    setup so the dense per-pixel masks shard with the image rows."""
+    import flax.linen as nn
+
+    class TinySeg(nn.Module):
+        num_classes: int = 5
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), padding=1)(x)
+            x = nn.relu(x)
+            return nn.Conv(self.num_classes, (3, 3), padding=1)(x)
+
+    def run(**kw):
+        trainer = SegmentationTrainer(
+            model=Model(TinySeg()),
+            train_loader=MockLoader(seg=True, batch_size=8),
+            val_loader=MockLoader(seg=True, batch_size=8, seed=1),
+            criterion=cross_entropy,
+            optimizer=lambda lr: optim.lamb(lr=lr),
+            num_classes=5,
+            **kw,
+        )
+        losses = trainer.check_setup(lr=5e-3, num_it=8)
+        return losses, trainer
+
+    losses_1, _ = run(devices=jax.devices()[:1])
+    losses_sp, tsp = run(spatial_parallel=2)
+    assert tsp.mesh.devices.shape == (4, 2)
+    np.testing.assert_allclose(losses_1, losses_sp, rtol=2e-5, atol=2e-6)
+
+    # the batch must land sharded on BOTH axes: images (N,H,W,C) and masks (N,H,W)
+    from jax.sharding import PartitionSpec as P
+
+    x, y = next(iter(MockLoader(seg=True, batch_size=8)))
+    x_dev, y_dev = tsp.to_device(x, y)
+    assert x_dev.sharding.spec == P("data", "spatial")
+    assert y_dev.sharding.spec == P("data", "spatial")
+
+    # classification targets (N,) batch-shard only
+    tc = make_trainer(spatial_parallel=4)
+    xc, yc = tc.to_device(np.zeros((8, 16, 16, 3), np.float32), np.zeros((8,), np.int32))
+    assert xc.sharding.spec == P("data", "spatial")
+    assert yc.sharding.spec == P("data")
+
+    with pytest.raises(ValueError):
+        make_trainer(spatial_parallel=2, model_parallel=2)
+    with pytest.raises(ValueError):
+        # H must divide the spatial axis: 12 rows cannot split 8 ways
+        tc8 = make_trainer(spatial_parallel=8)
+        tc8.to_device(np.zeros((8, 12, 12, 3), np.float32), np.zeros((8,), np.int32))
