@@ -121,7 +121,16 @@ def default_collate(batch: List[Tuple[Any, Any]]):
 
 
 class DataLoader:
-    """Batched iteration with shuffling and threaded sample loading."""
+    """Batched iteration with shuffling, threaded sample loading and (multi-host)
+    process sharding.
+
+    For multi-host training (``parallel/multihost.py``), pass
+    ``num_shards=jax.process_count(), shard_index=jax.process_index()`` (or just
+    ``num_shards="auto"``): every host draws the SAME epoch permutation (same seed,
+    same rng state trajectory) and takes a disjoint strided slice of it, so the
+    global epoch covers each sample exactly once with no cross-host coordination —
+    the host-side half of the hybrid ICI x DCN data-parallel recipe.
+    """
 
     def __init__(
         self,
@@ -132,6 +141,8 @@ class DataLoader:
         drop_last: bool = False,
         num_workers: int = 4,
         seed: int = 0,
+        num_shards: Any = None,
+        shard_index: Optional[int] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -140,15 +151,32 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self._rng = random.Random(seed)
+        if num_shards == "auto":
+            import jax
+
+            num_shards, shard_index = jax.process_count(), jax.process_index()
+        self.num_shards = int(num_shards) if num_shards else 1
+        self.shard_index = int(shard_index) if shard_index is not None else 0
+        if not 0 <= self.shard_index < self.num_shards:
+            raise ValueError(f"shard_index {self.shard_index} not in [0, {self.num_shards})")
+
+    def _shard_size(self) -> int:
+        n = len(self.dataset)
+        # strided split: shards differ by at most one sample
+        return (n - self.shard_index + self.num_shards - 1) // self.num_shards
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_size()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
         indices = list(range(len(self.dataset)))
         if self.shuffle:
+            # identical permutation on every host (same seed/state), THEN the
+            # strided slice — shards stay disjoint while staying shuffled
             self._rng.shuffle(indices)
+        if self.num_shards > 1:
+            indices = indices[self.shard_index :: self.num_shards]
         batches = [indices[i : i + self.batch_size] for i in range(0, len(indices), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]

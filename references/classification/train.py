@@ -200,7 +200,7 @@ def main(args):
 
     train_loader = DataLoader(
         train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True,
-        collate_fn=collate, seed=getattr(args, "seed", 0),
+        collate_fn=collate, seed=getattr(args, "seed", 0), num_shards="auto",
     )
     val_loader = DataLoader(
         val_set, args.batch_size, num_workers=args.workers, collate_fn=val_collate or default_collate

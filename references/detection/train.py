@@ -90,7 +90,8 @@ def main(args):
         return x, pad_targets(targets, max_boxes)
 
     train_loader = DataLoader(
-        train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True, collate_fn=train_collate
+        train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True,
+        collate_fn=train_collate, num_shards="auto",
     )
     val_loader = DataLoader(val_set, args.batch_size, num_workers=args.workers)
 

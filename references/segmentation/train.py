@@ -63,7 +63,9 @@ def main(args):
     from holocron_tpu.utils.data import DataLoader
 
     train_set, val_set = build_datasets(args)
-    train_loader = DataLoader(train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True)
+    train_loader = DataLoader(
+        train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True, num_shards="auto"
+    )
     val_loader = DataLoader(val_set, args.batch_size, num_workers=args.workers)
 
     model = segmentation.__dict__[args.arch](

@@ -99,3 +99,37 @@ def test_cifar10_reader(tmp_path):
     assert img2.dtype == np.float32 and img2.max() <= 1.0
     with pytest.raises(FileNotFoundError):
         CIFAR10(str(tmp_path / "nope"))
+
+
+def test_dataloader_process_sharding():
+    """Multi-host sharding: every shard draws the SAME epoch permutation and takes a
+    disjoint strided slice — union covers the dataset exactly once, lengths differ by
+    at most one batch, and shuffling stays epoch-consistent across 'hosts'."""
+    from holocron_tpu.utils.data import DataLoader, SyntheticDataset
+
+    ds = SyntheticDataset(num_samples=22, shape=(8, 8, 3), num_classes=3)
+
+    def collect(loader):
+        seen = []
+        for x, y in loader:
+            seen.extend(np.asarray(x).reshape(len(x), -1)[:, 0].tolist())
+        return seen
+
+    loaders = [
+        DataLoader(ds, batch_size=4, shuffle=True, seed=7, num_workers=1,
+                   num_shards=3, shard_index=i)
+        for i in range(3)
+    ]
+    shards = [collect(ld) for ld in loaders]
+    sizes = [len(s) for s in shards]
+    assert sum(sizes) == 22 and max(sizes) - min(sizes) <= 1
+    all_vals = [v for s in shards for v in s]
+    assert len(set(all_vals)) == 22  # disjoint cover (first-pixel values are unique wpb 1)
+    assert sum(len(ld) for ld in loaders) >= -(-22 // 4)
+
+    with pytest.raises(ValueError):
+        DataLoader(ds, num_shards=2, shard_index=5)
+
+    # unsharded default unchanged
+    base = DataLoader(ds, batch_size=4, num_workers=1)
+    assert len(collect(base)) == 22
