@@ -45,8 +45,9 @@ def tensor_parallel_specs(variables, mesh: Mesh, axis: str = "model", min_channe
     repl = NamedSharding(mesh, P())
 
     def spec(leaf):
-        if leaf.ndim >= 1 and leaf.shape[-1] >= min_channels and leaf.shape[-1] % n_shards == 0:
-            return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1)), axis))
+        ndim = getattr(leaf, "ndim", 0)  # optimizer states may carry scalar leaves
+        if ndim >= 1 and leaf.shape[-1] >= min_channels and leaf.shape[-1] % n_shards == 0:
+            return NamedSharding(mesh, P(*([None] * (ndim - 1)), axis))
         return repl
 
     return jax.tree.map(spec, variables)

@@ -58,6 +58,11 @@ class Trainer:
             training at resolutions whose activations exceed one chip's HBM.
             XLA/GSPMD places the halo exchanges at the conv seams
             (``parallel/spatial.py``). Mutually exclusive with ``model_parallel``
+        shard_opt_state: ZeRO-1-style optimizer-state sharding — moments split
+            their trailing channel dim over the ``data`` axis (params replicated,
+            GSPMD all-gathers only the final parameter deltas): optimizer memory
+            ~1/N with an unchanged trajectory. No-op under ``model_parallel``
+            (moments are already channel-sharded there)
         output_file: checkpoint destination
         amp: bf16 mixed-precision compute
         skip_nan_loss: skip optimizer updates on non-finite gradients
@@ -88,6 +93,7 @@ class Trainer:
         model_parallel: int = 1,
         tp_min_channels: int = 64,
         spatial_parallel: int = 1,
+        shard_opt_state: bool = False,
     ) -> None:
         if partial_batch not in ("pad", "drop"):
             raise ValueError(f"partial_batch must be 'pad' or 'drop', got {partial_batch!r}")
@@ -114,6 +120,7 @@ class Trainer:
         self.model_parallel = model_parallel
         self.tp_min_channels = tp_min_channels
         self.spatial_parallel = spatial_parallel
+        self.shard_opt_state = shard_opt_state
 
         self.step = 0
         self.start_epoch = 0
@@ -340,6 +347,22 @@ class Trainer:
             inner = optax.apply_if_finite(inner, max_consecutive_errors=self.nan_tolerance)
         self._tx = inner
         self._opt_state = inner.init(params)
+        if (
+            getattr(self, "shard_opt_state", False)
+            and self.mesh is not None
+            and "model" not in self.mesh.axis_names
+        ):
+            # ZeRO-1-style optimizer-state sharding: moments (param-shaped leaves)
+            # split their trailing channel dim over the DATA axis, params stay
+            # replicated. GSPMD then computes the sharded slice of each moment
+            # update on its owner and all-gathers only the final parameter deltas —
+            # optimizer memory drops ~1/N with no change to the step's math
+            # (trajectory equality tested). Under model_parallel the moments are
+            # already channel-sharded over 'model' via zeros_like inheritance.
+            specs = tensor_parallel_specs(
+                self._opt_state, self.mesh, axis="data", min_channels=self.tp_min_channels
+            )
+            self._opt_state = jax.tree.map(jax.device_put, self._opt_state, specs)
         self._freeze_until = freeze_until
         self._build_train_step()
 

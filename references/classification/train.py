@@ -238,6 +238,7 @@ def main(args):
         input_norm=input_norm,
         model_parallel=args.model_parallel,
         spatial_parallel=args.spatial_parallel,
+        shard_opt_state=args.shard_opt_state,
     )
     if args.resume:
         print(f"Resuming {args.resume}")
@@ -308,6 +309,11 @@ def parse_args():
         default=1,
         type=int,
         help="spatial-partitioning factor (mesh 'spatial' axis): image height sharded, halo exchanges GSPMD-placed",
+    )
+    parser.add_argument(
+        "--shard-opt-state",
+        action="store_true",
+        help="ZeRO-1-style optimizer-state sharding over the data axis (~1/N optimizer memory, same trajectory)",
     )
 
     group = parser.add_argument_group("Data loading")

@@ -116,6 +116,7 @@ def main(args):
         gradient_acc=args.grad_acc,
         model_parallel=args.model_parallel,
         spatial_parallel=args.spatial_parallel,
+        shard_opt_state=args.shard_opt_state,
         num_classes=args.num_classes,
     )
     if args.resume:
@@ -170,6 +171,11 @@ def parse_args():
         default=1,
         type=int,
         help="spatial-partitioning factor (mesh 'spatial' axis): image height sharded, halo exchanges GSPMD-placed",
+    )
+    parser.add_argument(
+        "--shard-opt-state",
+        action="store_true",
+        help="ZeRO-1-style optimizer-state sharding over the data axis (~1/N optimizer memory, same trajectory)",
     )
     parser.add_argument("-b", "--batch-size", default=16, type=int)
     parser.add_argument("-j", "--workers", default=8, type=int)

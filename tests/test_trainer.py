@@ -602,3 +602,34 @@ def test_spatial_parallel_trajectory_matches_single_device():
         # H must divide the spatial axis: 12 rows cannot split 8 ways
         tc8 = make_trainer(spatial_parallel=8)
         tc8.to_device(np.zeros((8, 12, 12, 3), np.float32), np.zeros((8,), np.int32))
+
+
+def test_zero_sharded_opt_state_trajectory_matches_single_device():
+    """ZeRO-1 optimizer-state sharding (moments split over the DATA axis, params
+    replicated) must keep the exact single-device trajectory — the memory win comes
+    from placement, not from changing the update math."""
+    from jax.sharding import PartitionSpec as P
+
+    def run(**kw):
+        trainer = make_trainer(
+            model=tiny_model(),
+            train_loader=MockLoader(batch_size=8),
+            val_loader=MockLoader(batch_size=8, seed=1),
+            **kw,
+        )
+        losses = trainer.check_setup(lr=5e-3, num_it=8)
+        return losses, trainer
+
+    losses_1, _ = run(devices=jax.devices()[:1])
+    losses_z, tz = run(shard_opt_state=True, tp_min_channels=4)
+    np.testing.assert_allclose(losses_1, losses_z, rtol=2e-5, atol=2e-6)
+
+    # the wide moment leaves must actually live sharded over the data axis
+    specs = [
+        getattr(leaf, "sharding", None)
+        for leaf in jax.tree.leaves(tz._opt_state)
+        if getattr(leaf, "ndim", 0) >= 1
+    ]
+    assert any(s is not None and s.spec != P() and "data" in jax.tree.leaves(tuple(s.spec)) for s in specs), (
+        "expected at least one optimizer moment sharded over 'data'"
+    )
