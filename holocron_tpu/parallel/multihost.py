@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["hybrid_mesh", "initialize", "num_slices"]
+__all__ = ["host_local_put", "hybrid_mesh", "initialize", "num_slices"]
 
 _INITIALIZED = False
 
@@ -55,6 +55,24 @@ def initialize(
         process_id=process_id,
     )
     _INITIALIZED = True
+
+
+def host_local_put(data, sharding):
+    """Places a per-process batch shard onto a (possibly multi-host) mesh.
+
+    Single-process: plain ``jax.device_put``. Multi-process: each host passes ONLY
+    its own loader shard (``DataLoader(num_shards="auto")``) and the global array
+    is assembled with ``jax.make_array_from_process_local_data`` — the per-host
+    rows land on that host's addressable devices and the array's global shape is
+    ``process_count`` times the local batch along the sharded dim. A bare
+    ``device_put`` with a global sharding would instead interpret every host's
+    local batch as the same global array and silently consume only the host's
+    addressable slice of it (half the data at 2 hosts), which is why the trainer
+    routes all batch placement through here.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(data))
+    return jax.device_put(data, sharding)
 
 
 def num_slices() -> int:

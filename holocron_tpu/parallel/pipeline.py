@@ -24,6 +24,19 @@ take ``M + n - 1`` ticks, with a bubble fraction of ``(n-1)/(M+n-1)`` — raise
 ``num_microbatches`` to amortize it. Everything is ``lax.scan``/``ppermute``
 inside one ``shard_map``: a single compiled SPMD program, no host round-trips
 between ticks.
+
+Memory is genuinely distributed, which is the point of PP: the input and output
+microbatches live on two *conveyor belts* — ring buffers sharded over the pipe
+axis (``M/n`` microbatches per device) that shift one slot towards device 0 each
+tick, so stage 0 always finds microbatch ``t`` at its belt head on tick ``t``, and
+stage ``n-1`` drops each finished microbatch on the belt tail, where it rides the
+remaining ticks to settle at exactly its final slot. Per-device activation
+residency is ``2·B/n`` (the two belt shards) plus one circulating microbatch
+``B/M`` — not the full batch — and per tick each device moves exactly three
+microbatches over ICI (belt shift ×2 + stage hop). Warmup ticks put pipeline
+bubbles on the output belt, but each wraps around into the belt tail on precisely
+the tick stage ``n-1`` overwrites it with the real microbatch destined for its
+slot, so no masking is needed.
 """
 
 from typing import Callable, Optional
@@ -31,7 +44,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import create_mesh
 
@@ -45,6 +58,7 @@ def pipeline_blocks(
     mesh: Optional[Mesh] = None,
     axis: str = "pipe",
     num_microbatches: Optional[int] = None,
+    gather_output: bool = False,
 ):
     """Applies ``S`` stacked blocks sequentially, pipelined over the mesh.
 
@@ -60,10 +74,15 @@ def pipeline_blocks(
         mesh: defaults to a 1-axis ``(axis,)`` mesh over all devices.
         axis: mesh axis the stages are laid out along.
         num_microbatches: defaults to the stage count (bubble fraction ~50%;
-            raise it to amortize).
+            raise it to amortize). Must be a multiple of the pipe-axis size — the
+            belts shard the microbatches evenly over the devices.
+        gather_output: replicate the result on return. Default ``False`` keeps it
+            sharded over the pipe axis on the batch dim (``M/n`` microbatches per
+            device) — the memory-honest form; pass ``True`` only when every device
+            needs the full output.
 
-    Returns ``y`` with ``y.shape == x.shape``, replicated — numerically identical
-    to folding ``block_fn`` over all ``S`` blocks on one device (tested).
+    Returns ``y`` with ``y.shape == x.shape`` — numerically identical to folding
+    ``block_fn`` over all ``S`` blocks on one device (tested).
     """
     if mesh is None:
         mesh = create_mesh(axes=(axis,))
@@ -74,13 +93,19 @@ def pipeline_blocks(
     if s % n != 0:
         raise ValueError(f"{s} blocks cannot split into {n} pipeline stages")
     m = num_microbatches if num_microbatches is not None else n
+    if m % n != 0:
+        raise ValueError(f"{m} microbatches cannot spread over {n} belt shards")
     if x.shape[0] % m != 0:
         raise ValueError(f"batch {x.shape[0]} does not divide into {m} microbatches")
 
-    def stage(params_local, x):
+    # one slot towards device 0 (belt shift) / one stage onwards (activation hop)
+    left = [(i, (i - 1) % n) for i in range(n)]
+    right = [(i, (i + 1) % n) for i in range(n)]
+
+    def stage(params_local, in_belt):
         # params_local: this stage's (S/n, ...) slice of every param leaf
+        # in_belt: this device's (m/n, B/m, ...) belt shard of the microbatches
         idx = lax.axis_index(axis)
-        mbs = x.reshape(m, x.shape[0] // m, *x.shape[1:])
 
         def run_blocks(x_mb):
             def body(carry, p):
@@ -89,34 +114,45 @@ def pipeline_blocks(
             y, _ = lax.scan(body, x_mb, params_local)
             return y
 
-        def tick(carry, t):
-            state, outputs = carry
-            # stage 0 feeds microbatch t (clipped: past M it re-reads a stale one,
-            # whose result is never written); later stages consume the hop buffer
-            mb_t = lax.dynamic_index_in_dim(mbs, jnp.clip(t, 0, m - 1), 0, keepdims=False)
-            out = run_blocks(jnp.where(idx == 0, mb_t, state))
-            # the last stage finishes microbatch j = t - (n-1) at tick t
-            j = t - (n - 1)
-            upd = lax.dynamic_update_index_in_dim(outputs, out, jnp.clip(j, 0, m - 1), 0)
-            outputs = jnp.where((idx == n - 1) & (j >= 0), upd, outputs)
-            # hop every stage's output to its right neighbour over ICI
-            state = lax.ppermute(out, axis, [(i, (i + 1) % n) for i in range(n)])
-            return (state, outputs), None
+        def shift_left(belt):
+            # global ring shift by one slot: every device sends its belt head to
+            # the left neighbour's tail (one microbatch over ICI per device)
+            recv = lax.ppermute(belt[0], axis, left)
+            return jnp.roll(belt, -1, axis=0).at[-1].set(recv)
 
-        (_, outputs), _ = lax.scan(
-            tick, (jnp.zeros_like(mbs[0]), jnp.zeros_like(mbs)), jnp.arange(m + n - 1)
+        def tick(carry, _):
+            in_belt, out_belt, state = carry
+            # stage 0 consumes the belt head — after t shifts it holds microbatch
+            # t; for t >= m it holds a wrapped, already-consumed slot whose output
+            # never survives (see below). Later stages consume the previous
+            # stage's hopped activation.
+            out = run_blocks(jnp.where(idx == 0, in_belt[0], state))
+            state = lax.ppermute(out, axis, right)
+            in_belt = shift_left(in_belt)
+            out_belt = shift_left(out_belt)
+            # stage n-1 drops its finished microbatch (j = t - (n-1) at tick t) on
+            # the belt tail: it travels exactly m-1-j remaining shifts and settles
+            # at final slot j. Warmup outputs (t < n-1, pipeline still filling)
+            # wrap around the ring into the tail on precisely the tick the real
+            # microbatch destined for that slot overwrites them.
+            out_belt = jnp.where(idx == n - 1, out_belt.at[-1].set(out), out_belt)
+            return (in_belt, out_belt, state), None
+
+        mb_zero = jnp.zeros_like(in_belt[0])
+        (_, out_belt, _), _ = lax.scan(
+            tick, (in_belt, jnp.zeros_like(in_belt), mb_zero), None, length=m + n - 1
         )
-        # outputs are only valid on the last stage: mask + psum replicates them
-        mask = (idx == n - 1).astype(outputs.dtype)
-        return lax.psum(outputs * mask, axis).reshape(x.shape)
+        return out_belt
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         stage,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
-        check_rep=False,  # replication is established by the psum above
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
     )
-    return fn(stacked_params, x)
+    mbs = x.reshape(m, x.shape[0] // m, *x.shape[1:])
+    y = fn(stacked_params, mbs).reshape(x.shape)
+    if gather_output:
+        y = jax.device_put(y, NamedSharding(mesh, P()))
+    return y

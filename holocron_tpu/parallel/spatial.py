@@ -60,9 +60,12 @@ def shard_spatial_inference(
             maps this keeps the result H-sharded across the mesh instead of
             materializing it on every device.
 
-    The input H does not need to divide the axis size — GSPMD pads the ragged
-    shard internally. Params replicate: SP's memory win is in the activations,
-    which dominate at high resolution.
+    The input H does not need to divide the axis size: when it does, the input is
+    pinned to the H-sharding at the jit boundary (the transfer itself lands each
+    row group on its device); when it does not, the pin is dropped and the single
+    ``with_sharding_constraint`` inside the traced function takes over — GSPMD
+    pads the ragged shard internally. Params replicate: SP's memory win is in the
+    activations, which dominate at high resolution.
     """
     if model.variables is None:
         raise RuntimeError("initialize the model first (run a forward or .init())")
@@ -84,9 +87,19 @@ def shard_spatial_inference(
         x = jax.lax.with_sharding_constraint(x, x_sharding)
         return module.apply(v, x, train=False)
 
-    jfwd = jax.jit(
-        fwd,
-        in_shardings=(None, x_sharding),
-        out_shardings=repl if gather_output else None,
-    )
-    return lambda x: jfwd(variables, x)
+    out_shardings = repl if gather_output else None
+    # H divisible by the axis: pin the input sharding at the jit boundary so the
+    # host transfer itself is the shard placement. Ragged H: an explicit input
+    # sharding would be rejected (device_put needs divisibility), so fall back to
+    # the unpinned jit and let the traced with_sharding_constraint pad internally.
+    jfwd = jax.jit(fwd, in_shardings=(None, x_sharding), out_shardings=out_shardings)
+    jfwd_ragged = jax.jit(fwd, out_shardings=out_shardings)
+    n_sp = mesh.shape[axis]
+
+    def call(x):
+        divisible = x.shape[1] % n_sp == 0 and (
+            batch_axis is None or x.shape[0] % mesh.shape[batch_axis] == 0
+        )
+        return (jfwd if divisible else jfwd_ragged)(variables, x)
+
+    return call

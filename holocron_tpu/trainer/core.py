@@ -29,6 +29,8 @@ from flax import serialization
 from ..models.core import Model
 from ..parallel.inference import tensor_parallel_specs
 from ..parallel.mesh import batch_sharding, create_mesh
+from ..parallel.multihost import host_local_put
+from ..parallel.spatial import spatial_sharding
 from .utils import freeze_model, split_normalization_params
 
 __all__ = ["Trainer"]
@@ -184,41 +186,46 @@ class Trainer:
         are counted twice in that step's mean loss — the documented trade-off);
         ``"drop"`` skips the batch (handled by the training loop via
         :meth:`_is_dropped_batch`).
+
+        Multi-host: the batch each host passes here is its OWN loader shard
+        (``DataLoader(num_shards="auto")``); :func:`~holocron_tpu.parallel.host_local_put`
+        assembles the global array from the per-process shards, so the divisibility
+        contract is against the host's local slice of the ``data`` axis.
         """
         if self.mesh is None:
             return jnp.asarray(x), target if not isinstance(target, (np.ndarray, jnp.ndarray)) else jnp.asarray(target)
-        n = self._data_axis_size()
+        # local batch must divide this host's slice of the data axis
+        n = self._data_axis_size() // jax.process_count()
         rem = int(np.shape(x)[0]) % n
         if rem:
             # "drop" batches never reach here (filtered in the loop); pad the rest
             pad = n - rem
             x, target = self._pad_partial((x, target), pad)
         sharding = batch_sharding(self.mesh)
+        put = host_local_put
         if "spatial" in self.mesh.axis_names:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
             n_sp = self.mesh.shape["spatial"]
             h, w = int(np.shape(x)[1]), int(np.shape(x)[2])
             if h % n_sp != 0:
                 raise ValueError(
                     f"spatial_parallel={n_sp} needs the image height to divide; got H={h}"
                 )
-            sp_sharding = NamedSharding(self.mesh, P("data", "spatial"))
+            sp_sharding = spatial_sharding(self.mesh, batch_axis="data")
 
             def put_target(t):
                 # dense per-pixel targets (seg masks (N, H, W[, C])) shard with the
                 # image; everything else (labels, padded box dicts) batch-shards only
                 dense = np.ndim(t) >= 3 and np.shape(t)[1] == h and np.shape(t)[2] == w
-                return jax.device_put(t, sp_sharding if dense else sharding)
+                return put(t, sp_sharding if dense else sharding)
 
-            return jax.device_put(x, sp_sharding), jax.tree.map(put_target, target)
-        return jax.device_put(x, sharding), jax.tree.map(lambda t: jax.device_put(t, sharding), target)
+            return put(x, sp_sharding), jax.tree.map(put_target, target)
+        return put(x, sharding), jax.tree.map(lambda t: put(t, sharding), target)
 
     def _is_dropped_batch(self, x) -> bool:
         return (
             self.partial_batch == "drop"
             and self.mesh is not None
-            and int(np.shape(x)[0]) % self._data_axis_size() != 0
+            and int(np.shape(x)[0]) % (self._data_axis_size() // jax.process_count()) != 0
         )
 
     # ------------------------------------------------------------------

@@ -127,9 +127,16 @@ class DataLoader:
     For multi-host training (``parallel/multihost.py``), pass
     ``num_shards=jax.process_count(), shard_index=jax.process_index()`` (or just
     ``num_shards="auto"``): every host draws the SAME epoch permutation (same seed,
-    same rng state trajectory) and takes a disjoint strided slice of it, so the
-    global epoch covers each sample exactly once with no cross-host coordination —
-    the host-side half of the hybrid ICI x DCN data-parallel recipe.
+    same rng state trajectory) and takes a disjoint strided slice of it, with the
+    permutation wrap-padded to a multiple of ``num_shards`` first — torch
+    ``DistributedSampler`` semantics. Padding matters for correctness, not just
+    balance: in multi-host SPMD every train step is one collective program entered
+    by ALL processes, so unequal shards would leave one host blocking forever on a
+    step its peers never enter, and unequal ``len(loader)`` would bake different
+    ``total_steps`` into each host's LR schedule. With padding, each epoch covers
+    every sample at least once (at most ``num_shards - 1`` repeats globally) and
+    every host runs the exact same step count — the host-side half of the hybrid
+    ICI x DCN data-parallel recipe.
     """
 
     def __init__(
@@ -161,9 +168,9 @@ class DataLoader:
             raise ValueError(f"shard_index {self.shard_index} not in [0, {self.num_shards})")
 
     def _shard_size(self) -> int:
-        n = len(self.dataset)
-        # strided split: shards differ by at most one sample
-        return (n - self.shard_index + self.num_shards - 1) // self.num_shards
+        # wrap-padded strided split: every shard has exactly ceil(n / num_shards)
+        # samples, so len(loader) / step counts / schedule lengths agree across hosts
+        return -(-len(self.dataset) // self.num_shards)
 
     def __len__(self) -> int:
         n = self._shard_size()
@@ -176,6 +183,12 @@ class DataLoader:
             # strided slice — shards stay disjoint while staying shuffled
             self._rng.shuffle(indices)
         if self.num_shards > 1:
+            # wrap-pad to a multiple of num_shards (repeat the permutation head)
+            # so every host's shard — and therefore its per-epoch step count — is
+            # identical; then take the disjoint strided slice
+            total = self._shard_size() * self.num_shards
+            if indices:
+                indices = (indices * -(-total // len(indices)))[:total]
             indices = indices[self.shard_index :: self.num_shards]
         batches = [indices[i : i + self.batch_size] for i in range(0, len(indices), self.batch_size)]
         if self.drop_last:

@@ -102,9 +102,10 @@ def test_cifar10_reader(tmp_path):
 
 
 def test_dataloader_process_sharding():
-    """Multi-host sharding: every shard draws the SAME epoch permutation and takes a
-    disjoint strided slice — union covers the dataset exactly once, lengths differ by
-    at most one batch, and shuffling stays epoch-consistent across 'hosts'."""
+    """Multi-host sharding (DistributedSampler semantics): every shard draws the SAME
+    epoch permutation, the permutation is wrap-padded to equal shard sizes — so every
+    'host' runs the identical step count (unequal shards would deadlock a multi-host
+    collective) — and the union covers the dataset at least once."""
     from holocron_tpu.utils.data import DataLoader, SyntheticDataset
 
     ds = SyntheticDataset(num_samples=22, shape=(8, 8, 3), num_classes=3)
@@ -122,10 +123,26 @@ def test_dataloader_process_sharding():
     ]
     shards = [collect(ld) for ld in loaders]
     sizes = [len(s) for s in shards]
-    assert sum(sizes) == 22 and max(sizes) - min(sizes) <= 1
+    # equal shards: ceil(22/3) = 8 each (2 wrap-padded repeats globally)
+    assert sizes == [8, 8, 8]
+    assert len({len(ld) for ld in loaders}) == 1  # identical per-host step counts
     all_vals = [v for s in shards for v in s]
-    assert len(set(all_vals)) == 22  # disjoint cover (first-pixel values are unique wpb 1)
-    assert sum(len(ld) for ld in loaders) >= -(-22 // 4)
+    assert len(set(all_vals)) == 22  # every sample appears at least once
+    # shards stay pairwise disjoint apart from the wrap-padded head repeats
+    assert sum(sizes) - len(set(all_vals)) == 2
+
+    # drop_last: identical step counts too (the multi-host lockstep contract)
+    dl_loaders = [
+        DataLoader(ds, batch_size=3, drop_last=True, num_workers=1, num_shards=3, shard_index=i)
+        for i in range(3)
+    ]
+    assert len({len(ld) for ld in dl_loaders}) == 1
+    assert len({len(collect(ld)) for ld in dl_loaders}) == 1
+
+    # tiny dataset < num_shards: wraps enough to fill every shard
+    tiny = SyntheticDataset(num_samples=2, shape=(4, 4, 3))
+    tiny_loaders = [DataLoader(tiny, batch_size=1, num_workers=1, num_shards=4, shard_index=i) for i in range(4)]
+    assert [len(collect(ld)) for ld in tiny_loaders] == [1, 1, 1, 1]
 
     with pytest.raises(ValueError):
         DataLoader(ds, num_shards=2, shard_index=5)

@@ -38,7 +38,7 @@ def test_shard_batch_and_gradient_psum():
 
 
 def test_collectives_in_shard_map():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = create_mesh(axes=("data",))
     x = jnp.arange(8.0)
@@ -55,7 +55,7 @@ def test_collectives_in_shard_map():
 
 
 def test_all_gather_and_reduce_scatter():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = create_mesh(axes=("data",))
     x = jnp.arange(16.0).reshape(8, 2)
@@ -226,6 +226,14 @@ def test_spatial_inference_matches_single_device():
     fwd_clf = shard_spatial_inference(clf)
     np.testing.assert_allclose(np.asarray(fwd_clf(x)), np.asarray(ref_logits), atol=1e-5)
 
+    # ragged H (68 % 8 != 0): the pinned input sharding would be rejected, so the
+    # wrapper must fall back to the in-trace constraint (GSPMD pads internally)
+    clf68 = Model(RepVGG([1, 1], [8, 16], 1.0, 2.0, num_classes=8))
+    clf68.init((2, 68, 64, 3))
+    x68 = jax.random.normal(jax.random.key(2), (2, 68, 64, 3))
+    fwd68 = shard_spatial_inference(clf68)
+    np.testing.assert_allclose(np.asarray(fwd68(x68)), np.asarray(clf68(x68)), atol=1e-5)
+
     mesh1 = create_mesh(axes=("spatial",))
     with pytest.raises(ValueError):
         shard_spatial_inference(model, mesh1, batch_axis="data")
@@ -305,10 +313,23 @@ def test_pipeline_blocks_matches_sequential():
     out = pipeline_blocks(block_fn, params, x)  # 8 stages, 1 block each
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    # memory-honest default: the output stays sharded over the pipe axis on the
+    # batch dim (M/n microbatches per device) instead of replicating everywhere
+    assert not out.sharding.is_fully_replicated
+
     # 4 stages x 2 blocks each (inner scan), more microbatches to shrink the bubble
     mesh4 = create_mesh(jax.devices()[:4], axes=("pipe",))
     out4 = pipeline_blocks(block_fn, params, x, mesh4, num_microbatches=8)
     np.testing.assert_allclose(np.asarray(out4), np.asarray(ref), atol=1e-5)
+
+    # opt-in replication
+    out_g = pipeline_blocks(block_fn, params, x, mesh4, num_microbatches=8, gather_output=True)
+    assert out_g.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref), atol=1e-5)
+
+    # microbatches must spread evenly over the belt shards
+    with pytest.raises(ValueError):
+        pipeline_blocks(block_fn, params, x, mesh4, num_microbatches=2)
 
     # gradients flow backward through the pipeline hops
     def loss_pipe(p):
