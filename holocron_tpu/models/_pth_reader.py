@@ -188,15 +188,35 @@ def _read_zip(f: BinaryIO) -> Any:
     return _materialize(obj)
 
 
+class _PlainUnpickler(pickle.Unpickler):
+    """For the legacy header/trailer pickles (magic int, protocol version, sys-info
+    dict, storage-key list): plain data only — any global or persistent id means the
+    bytes are not a torch checkpoint header, so refuse BEFORE anything can run.
+    (Stock ``pickle.load`` here would execute an attacker ``__reduce__`` payload
+    before the magic number is even compared.)"""
+
+    def find_class(self, module: str, name: str):
+        raise pickle.UnpicklingError(
+            f"refusing global {module}.{name} in a checkpoint header — plain data only"
+        )
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(f"unexpected persistent id {pid!r} in a checkpoint header")
+
+
+def _plain_load(f: BinaryIO) -> Any:
+    return _PlainUnpickler(f, encoding="utf-8").load()
+
+
 def _read_legacy(f: BinaryIO) -> Any:
-    magic = pickle.load(f)
+    magic = _plain_load(f)
     if magic != _LEGACY_MAGIC:
         raise ValueError("not a torch legacy checkpoint (bad magic)")
-    pickle.load(f)  # protocol version
-    pickle.load(f)  # sys info
+    _plain_load(f)  # protocol version
+    _plain_load(f)  # sys info
     storages: Dict[str, _Storage] = {}
     obj = _Unpickler(f, storages, legacy=True).load()
-    storage_keys = pickle.load(f)
+    storage_keys = _plain_load(f)
     for key in storage_keys:
         (numel,) = struct.unpack("<q", f.read(8))
         storage = storages[str(key)]

@@ -81,6 +81,28 @@ def test_read_pth_refuses_arbitrary_globals(tmp_path):
     with pytest.raises(Exception, match="refusing|persistent|Unpickl"):
         read_pth(path)
 
+    # legacy format: same refusal through the pre-1.6 stream path
+    legacy_path = tmp_path / "evil_legacy.pth"
+    torch.save({"e": Evil()}, legacy_path, _use_new_zipfile_serialization=False)
+    with pytest.raises(Exception, match="refusing|persistent|Unpickl"):
+        read_pth(legacy_path)
+
+    # a crafted file whose FIRST pickle is the payload (before any magic check):
+    # the header unpickler must refuse without executing it
+    import pickle as _pickle
+
+    marker = tmp_path / "pwned"
+    bomb = tmp_path / "bomb.pth"
+
+    class Bomb:
+        def __reduce__(self):
+            return (_os.system, (f"touch {marker}",))
+
+    bomb.write_bytes(_pickle.dumps(Bomb()))
+    with pytest.raises(Exception, match="refusing|persistent|Unpickl|magic"):
+        read_pth(bomb)
+    assert not marker.exists(), "header pickle was executed — code execution from checkpoint bytes"
+
 
 def _tiny_torch_repvgg_state(seed: int = 0):
     """Keys matching the reference RepVGG layout for a [1, 1]/[8, 16] config
