@@ -24,13 +24,32 @@ _PAD_MODES = {"zeros": "constant", "reflect": "reflect", "replicate": "edge", "c
 # block-diagonal dense form wins by 27-77x (measured on v5e, docs/PERF.md).
 DENSE_GROUPS_MAX_BATCH = 32
 
+# How many ways the batch dim is sharded over a data-parallel mesh. The cliff is a
+# PER-DEVICE property: a global batch of 64 spread over 8 chips executes as batch 8
+# per chip — deep inside the cliff — so sharded runners (shard_inference, the
+# Trainer) declare their data-axis size here before tracing and the auto rule keys
+# on the per-device batch. Default 1 = unsharded/single-chip.
+_DATA_SHARDS = 1
+
+
+def set_data_shards(n: int) -> None:
+    """Declares the data-axis shard count consulted by :func:`masked_dense_groups_wins`.
+
+    Called by ``parallel.shard_inference`` and the trainer's mesh binding; affects
+    functions traced AFTER the call (jit caches built earlier keep their choice)."""
+    global _DATA_SHARDS
+    _DATA_SHARDS = max(int(n), 1)
+
 
 def masked_dense_groups_wins(batch: int, in_per_group: int) -> bool:
     """Measured auto rule: narrow per-group contractions under-fill the MXU and hit
     XLA's small-batch grouped-emitter cliff; depthwise (in_per_group == 1) is
     excluded — XLA has a dedicated lowering for it that is already fast at batch 1
-    (rexnet/mobileone measure at full speed)."""
-    return 1 < in_per_group < 32 and batch <= DENSE_GROUPS_MAX_BATCH
+    (rexnet/mobileone measure at full speed). ``batch`` is the global batch; the
+    rule divides by the declared data-shard count (:func:`set_data_shards`) since
+    the cliff is per-device."""
+    per_device = -(-batch // _DATA_SHARDS)
+    return 1 < in_per_group < 32 and per_device <= DENSE_GROUPS_MAX_BATCH
 
 
 def _explicit_pad(x: jax.Array, padding: Tuple[int, int], padding_mode: str) -> jax.Array:

@@ -82,6 +82,11 @@ def shard_inference(
         raise RuntimeError("initialize the model first (run a forward or .init())")
     if mesh is None:
         mesh = create_mesh(axes=("data",))
+    if "data" in mesh.axis_names:
+        # the grouped-conv execution choice keys on the PER-DEVICE batch
+        from ..nn.modules.conv import set_data_shards
+
+        set_data_shards(mesh.shape["data"])
     data = batch_sharding(mesh, "data")
     repl = NamedSharding(mesh, P())
     if tensor_parallel and "model" not in mesh.axis_names:

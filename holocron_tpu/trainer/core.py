@@ -159,6 +159,10 @@ class Trainer:
             self.mesh = create_mesh(self.devices, ("data",))
         else:
             self.mesh = None
+        from ..nn.modules.conv import set_data_shards
+
+        # the grouped-conv execution choice keys on the PER-DEVICE batch
+        set_data_shards(self.mesh.shape["data"] if self.mesh is not None else 1)
 
     def _data_axis_size(self) -> int:
         """Number of batch shards — the ``data`` axis of the mesh (1 un-meshed)."""

@@ -92,10 +92,23 @@ def test_conv_sequence_masked_dense_groups():
     out_big = cs.apply(v, x_big, train=False)  # native grouped path
     np.testing.assert_allclose(np.asarray(out_big[:2]), np.asarray(out_small), atol=3e-5)
 
+    from holocron_tpu.nn.modules import conv as _conv
+
+    _conv.set_data_shards(1)  # earlier tests may have bound a mesh
     assert masked_dense_groups_wins(1, 4) and masked_dense_groups_wins(32, 31)
     assert not masked_dense_groups_wins(1, 1)  # depthwise: XLA's lowering is fast
     assert not masked_dense_groups_wins(64, 4)  # above the batch crossover
     assert not masked_dense_groups_wins(1, 64)  # wide groups fill the MXU natively
+
+    # the cliff is per-device: a global batch of 64 over 8 data shards runs at
+    # batch 8 per chip, so sharded runners declare their shard count
+    try:
+        _conv.set_data_shards(8)
+        assert masked_dense_groups_wins(64, 4)  # 8/chip: inside the cliff
+        assert not masked_dense_groups_wins(512, 4)  # 64/chip: above the crossover
+    finally:
+        _conv.set_data_shards(1)
+    assert not masked_dense_groups_wins(64, 4)  # reset back to unsharded
 
     # gradients through the dense path equal the native grouped gradients (the
     # small-batch TRAINING path runs dense too — off-group weight grads are killed
