@@ -100,9 +100,6 @@ def build_datasets(args):
             # standard-normal distribution after the ON-DEVICE normalization
             erase = RandomErasing(p=args.random_erase, scale=(0.02, 0.2), pixel_stats=(mean, std))
             crop = args.train_crop_size
-            # --seed makes the whole native pipeline reproducible: the master rng
-            # drives both the C++ RRC/flip draws and the augment-tail draws
-            master_rng = np.random.default_rng(seed)
             pool = ThreadPoolExecutor(args.workers)
 
             def augment_one(img_and_seed):
@@ -119,7 +116,17 @@ def build_datasets(args):
             def train_collate(batch):
                 buffers, ys = zip(*batch)
                 n = len(buffers)
-                seeds = master_rng.integers(1, 2**63, size=2 * n, dtype=np.uint64)
+                # --seed reproducibility must be thread-order-independent: the
+                # DataLoader runs collates on a small pool, so a shared sequential
+                # Generator would make the draw order scheduler-dependent (and
+                # np.random.Generator is not thread-safe). Key each batch's seeds
+                # off its OWN bytes instead — stable across runs for a fixed
+                # shuffle seed, no shared mutable state between collate threads.
+                import zlib
+
+                entropy = [seed] + [zlib.crc32(bytes(b[:4096]), len(b)) for b in buffers]
+                rng = np.random.default_rng(np.random.SeedSequence(entropy))
+                seeds = rng.integers(1, 2**63, size=2 * n, dtype=np.uint64)
                 x_u8 = decode_rrc_batch(
                     list(buffers), crop, crop, scale=(0.3, 1.0),
                     seeds=seeds[:n], num_threads=args.workers,

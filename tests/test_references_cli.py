@@ -159,6 +159,26 @@ def test_classification_native_pipeline_seed_reproducible(tmp_path):
     np.testing.assert_array_equal(x1, x2)
     assert np.abs(x1.astype(np.int32) - x3.astype(np.int32)).max() > 2  # different seed -> different crops
 
+    # ...and through the threaded DataLoader (collates run on a 2-thread pool):
+    # reproducibility must not depend on which collate thread runs first
+    from holocron_tpu.utils.data import DataLoader
+
+    def full_epoch(seed):
+        args = argparse.Namespace(
+            data_path=str(tmp_path), dataset="imagenette", num_classes=2, batch_size=2,
+            workers=2, train_crop_size=32, val_resize_size=40, val_crop_size=32,
+            random_erase=0.5, no_native=False, fake_samples=0, seed=seed,
+        )
+        train_set, _, _, train_collate, _, _ = mod.build_datasets(args)
+        loader = DataLoader(train_set, batch_size=2, shuffle=True, seed=seed,
+                            collate_fn=train_collate, num_workers=2)
+        return [np.asarray(x) for x, _ in loader]
+
+    e1, e2 = full_epoch(123), full_epoch(123)
+    assert len(e1) == len(e2)
+    for a, b in zip(e1, e2):
+        np.testing.assert_array_equal(a, b)
+
 
 def test_classification_cli_rejects_unknown_arch(monkeypatch):
     with pytest.raises(KeyError):
