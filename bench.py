@@ -78,7 +78,8 @@ def main() -> None:
         for attempt in range(3):
             if _backend_responsive():
                 break
-            time.sleep(60)
+            if attempt < 2:  # separate attempts only; don't delay the give-up report
+                time.sleep(60)
         else:
             print(
                 json.dumps({

@@ -215,20 +215,26 @@ def run_grad(archs, size: int = 64):
         flat_ref = jax.tree_util.tree_flatten_with_path(grad_tree_ref.get("params", grad_tree_ref))[0]
         flat_got = dict(jax.tree_util.tree_flatten_with_path(gp)[0])
         worst = 0.0
-        denom = max(float(np.max(np.abs(np.asarray(jax.tree.leaves(gp)[0])))), 1e-12)
+        compared = 0
         for path, ref_leaf in flat_ref:
             got_leaf = flat_got.get(path)
             if got_leaf is None:
                 continue
+            compared += 1
             ref_np = np.asarray(ref_leaf, np.float64)
             scale = max(float(np.max(np.abs(ref_np))), 1e-8)
             worst = max(worst, float(np.max(np.abs(np.asarray(got_leaf, np.float64) - ref_np))) / scale)
+        # coverage gate: a converter layout drift must FAIL the suite, not skip it —
+        # every JAX param leaf needs a matching converted reference gradient
+        coverage = compared / max(len(flat_got), 1)
         tol = 1e-4
-        ok = rel_x <= tol and worst <= tol
-        print(f"{arch:24s} dL/dx rel={rel_x:.2e}  worst dL/dW rel={worst:.2e}  ({'PASS' if ok else 'FAIL'} tol={tol:.0e})")
+        ok = rel_x <= tol and worst <= tol and coverage == 1.0
+        print(
+            f"{arch:24s} dL/dx rel={rel_x:.2e}  worst dL/dW rel={worst:.2e}  "
+            f"coverage={compared}/{len(flat_got)}  ({'PASS' if ok else 'FAIL'} tol={tol:.0e})"
+        )
         if not ok:
             failures.append(arch)
-        _ = denom
     return failures
 
 
