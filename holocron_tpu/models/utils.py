@@ -194,7 +194,12 @@ def _download_checkpoint(url: str, sha256: Optional[str] = None, progress: bool 
         os.environ.get("HOLOCRON_CACHE_DIR", Path.home() / ".cache" / "holocron_tpu")
     ) / "checkpoints"
     cache_dir.mkdir(parents=True, exist_ok=True)
-    dest = cache_dir / Path(urllib.parse.urlparse(url).path).name
+    # Key the cache entry on the FULL url, not just the basename: two releases can both
+    # ship a `model.pth`, and without a sha256 to catch it the second request would
+    # silently serve the first file's bytes (also covers paths ending in "/").
+    url_key = hashlib.sha256(url.encode()).hexdigest()[:16]
+    basename = Path(urllib.parse.urlparse(url).path).name or "checkpoint.pth"
+    dest = cache_dir / f"{url_key}-{basename}"
     if not dest.exists():
         if progress:
             logger.info(f"Downloading {url} to {dest}")

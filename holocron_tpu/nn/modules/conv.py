@@ -3,6 +3,7 @@
 Reference: holocron/nn/modules/conv.py.
 """
 
+import contextlib
 import math
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -35,10 +36,28 @@ _DATA_SHARDS = 1
 def set_data_shards(n: int) -> None:
     """Declares the data-axis shard count consulted by :func:`masked_dense_groups_wins`.
 
-    Called by ``parallel.shard_inference`` and the trainer's mesh binding; affects
-    functions traced AFTER the call (jit caches built earlier keep their choice)."""
+    Affects functions traced AFTER the call (jit caches built earlier keep their
+    choice). Prefer the scoped :func:`data_shards` — sharded runners trace inside
+    it so the declaration can never leak into later unrelated single-device models."""
     global _DATA_SHARDS
     _DATA_SHARDS = max(int(n), 1)
+
+
+@contextlib.contextmanager
+def data_shards(n: int):
+    """Scopes :func:`set_data_shards` to a with-block (and restores the previous
+    value on exit). ``shard_inference``'s returned callable and the trainer's step
+    dispatch wrap every call in this, so the per-device rule is active exactly while
+    THEIR jits trace — a process-global left permanently at 8 would silently flip
+    later unrelated models onto the dense form at batches where the native grouped
+    emitter wins."""
+    global _DATA_SHARDS
+    prev = _DATA_SHARDS
+    _DATA_SHARDS = max(int(n), 1)
+    try:
+        yield
+    finally:
+        _DATA_SHARDS = prev
 
 
 def masked_dense_groups_wins(batch: int, in_per_group: int) -> bool:

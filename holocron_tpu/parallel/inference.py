@@ -82,11 +82,12 @@ def shard_inference(
         raise RuntimeError("initialize the model first (run a forward or .init())")
     if mesh is None:
         mesh = create_mesh(axes=("data",))
-    if "data" in mesh.axis_names:
-        # the grouped-conv execution choice keys on the PER-DEVICE batch
-        from ..nn.modules.conv import set_data_shards
+    # the grouped-conv execution choice keys on the PER-DEVICE batch; scope the
+    # declaration around our own calls (tracing happens inside the first one) so it
+    # cannot leak into later unrelated single-device models
+    from ..nn.modules.conv import data_shards
 
-        set_data_shards(mesh.shape["data"])
+    n_data = mesh.shape["data"] if "data" in mesh.axis_names else 1
     data = batch_sharding(mesh, "data")
     repl = NamedSharding(mesh, P())
     if tensor_parallel and "model" not in mesh.axis_names:
@@ -119,10 +120,20 @@ def shard_inference(
         fwd = jax.jit(
             lambda v, q, x: inner(v, q, x), in_shardings=(None, None, data), out_shardings=repl
         )
-        return lambda x: fwd(variables, qparams, x)
+
+        def run_q(x):
+            with data_shards(n_data):
+                return fwd(variables, qparams, x)
+
+        return run_q
 
     module = model.module
     fwd = jax.jit(
         lambda v, x: module.apply(v, x, train=False), in_shardings=(None, data), out_shardings=repl
     )
-    return lambda x: fwd(variables, x)
+
+    def run(x):
+        with data_shards(n_data):
+            return fwd(variables, x)
+
+    return run

@@ -26,23 +26,24 @@ class ClassificationTrainer(Trainer):
         criterion = self.criterion
         val_loss, top1, top5, num_samples, num_valid_batches = 0.0, 0, 0, 0, 0
         for x, target in self.val_loader:
-            bs = int(np.shape(x)[0])  # true size before any mesh padding
+            bs = int(np.shape(x)[0])  # true LOCAL size before any mesh padding
             x, target = self.to_device(x, target)
             self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
-            out = forward(self.model.variables, x)[:bs]
-            loss = float(criterion(out, jax.tree.map(lambda t: t[:bs], target)))
+            # _host_batch drops mesh padding AND (multi-host) gathers every host's
+            # real rows, so the metrics below always cover the full validation view
+            out = self._host_batch(forward(self.model.variables, x), bs)
+            target_np = jax.tree.map(lambda t: self._host_batch(t, bs), target)
+            loss = float(criterion(jnp.asarray(out), jax.tree.map(jnp.asarray, target_np)))
             if math.isfinite(loss):
                 val_loss += loss
                 num_valid_batches += 1
-            out = np.asarray(out)
-            target_np = np.asarray(target)[:bs]
             # top-5 clamps to the class count (torch's topk would error on <5 classes)
             k = min(5, out.shape[1])
             pred = np.argsort(out, axis=1)[:, ::-1][:, :k]
-            correct = pred == target_np.reshape(-1, 1)
+            correct = pred == np.asarray(target_np).reshape(-1, 1)
             top1 += int(correct[:, 0].sum())
             top5 += int(correct.any(axis=1).sum())
-            num_samples += bs
+            num_samples += out.shape[0]
         val_loss /= max(num_valid_batches, 1)
         return {"val_loss": val_loss, "acc1": top1 / num_samples, "acc5": top5 / num_samples}
 
@@ -65,6 +66,10 @@ class ClassificationTrainer(Trainer):
         (reference classification.py:84-158)."""
         if not self.is_binary and classes is None:
             raise AssertionError("arg 'classes' must be specified for multi-class classification")
+        if jax.process_count() > 1:
+            # the streaming top-k mixes device losses with HOST images by index;
+            # under multi-host each host only holds its loader shard's images
+            raise NotImplementedError("plot_top_losses is a single-host visualization utility")
         forward, _ = self._eval_fns()
 
         losses = np.zeros(num_samples, dtype=np.float32)
@@ -154,16 +159,14 @@ class BinaryClassificationTrainer(ClassificationTrainer):
             bs = int(np.shape(x)[0])  # true size before any mesh padding
             x, target = self.to_device(x, target)
             self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
-            out = forward(self.model.variables, x)[:bs]
-            target_f = jnp.reshape(jnp.asarray(target)[:bs].astype(out.dtype), out.shape)
-            loss = float(self.criterion(out, target_f))
+            out_np = self._host_batch(forward(self.model.variables, x), bs)
+            t_np = np.reshape(self._host_batch(target, bs).astype(out_np.dtype), out_np.shape)
+            loss = float(self.criterion(jnp.asarray(out_np), jnp.asarray(t_np)))
             if math.isfinite(loss):
                 val_loss += loss
                 num_valid_batches += 1
-            out_np = np.asarray(out)
-            t_np = np.asarray(target_f)
             top1 += float(((t_np >= 0.5) == (1 / (1 + np.exp(-out_np)) >= 0.5)).sum()) / out_np[0].size
-            num_samples += bs
+            num_samples += out_np.shape[0]
         val_loss /= max(num_valid_batches, 1)
         return {"val_loss": val_loss, "acc": top1 / num_samples}
 

@@ -159,10 +159,19 @@ class Trainer:
             self.mesh = create_mesh(self.devices, ("data",))
         else:
             self.mesh = None
-        from ..nn.modules.conv import set_data_shards
-
-        # the grouped-conv execution choice keys on the PER-DEVICE batch
-        set_data_shards(self.mesh.shape["data"] if self.mesh is not None else 1)
+        # the grouped-conv execution choice keys on the PER-DEVICE batch; stored here
+        # and scoped (nn.modules.conv.data_shards) around this trainer's own jit
+        # tracing so the declaration never leaks into unrelated models in-process
+        self._data_shards = self.mesh.shape["data"] if self.mesh is not None else 1
+        if self.mesh is not None and self.mesh.shape["data"] % jax.process_count() != 0:
+            # e.g. 2 hosts x 8 devices with model_parallel=16 leaves a data axis of 1:
+            # every host must own an equal slice of the batch axis, so fail loudly here
+            # instead of a ZeroDivisionError on the first batch
+            raise ValueError(
+                f"the mesh data axis ({self.mesh.shape['data']}) must be divisible by the "
+                f"process count ({jax.process_count()}) — lower model_parallel/spatial_parallel "
+                "so every host keeps a slice of the batch axis"
+            )
 
     def _data_axis_size(self) -> int:
         """Number of batch shards — the ``data`` axis of the mesh (1 un-meshed)."""
@@ -196,6 +205,12 @@ class Trainer:
         assembles the global array from the per-process shards, so the divisibility
         contract is against the host's local slice of the ``data`` axis.
         """
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # already assembled into a global array by a previous call (the train loop's
+            # prefetch places batches ahead of _run_step_async, which calls here again);
+            # re-running host_local_put on a global array would crash on the np.asarray
+            # of non-addressable shards — and re-assembling would duplicate the batch
+            return x, target
         if self.mesh is None:
             return jnp.asarray(x), target if not isinstance(target, (np.ndarray, jnp.ndarray)) else jnp.asarray(target)
         # local batch must divide this host's slice of the data axis
@@ -231,6 +246,26 @@ class Trainer:
             and self.mesh is not None
             and int(np.shape(x)[0]) % (self._data_axis_size() // jax.process_count()) != 0
         )
+
+    def _host_batch(self, arr, bs: int) -> np.ndarray:
+        """Real (un-padded) rows of a device eval batch, as a host array.
+
+        ``bs`` is THIS process's true batch size before mesh padding. Single-host the
+        padding sits at the tail — slice it off. Multi-host the global array is laid
+        out as ``process_count`` equal per-host blocks (the sharded loader's
+        equal-shard contract keeps ``bs`` in lockstep across hosts), each block's real
+        rows first: gather the global value and drop every block's padded tail, so
+        every host sees the SAME full validation view and eval counters need no
+        further cross-host reduction. A plain ``np.asarray`` here would raise on the
+        non-addressable shards — never read eval outputs back any other way.
+        """
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            g = np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+            per = g.shape[0] // jax.process_count()
+            return np.concatenate([g[i * per : i * per + bs] for i in range(jax.process_count())])
+        return np.asarray(arr)[:bs]
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -458,11 +493,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def _run_step_async(self, x, target):
         """Dispatches one train step, returning the on-device loss (no host sync)."""
+        from ..nn.modules.conv import data_shards
+
         x, target = self.to_device(x, target)
         self._rng, step_rng = jax.random.split(self._rng)
-        params, net_state, self._opt_state, loss = self._train_step(
-            self.model.params, self.model.state or {}, self._opt_state, x, target, step_rng
-        )
+        with data_shards(self._data_shards):  # first call traces: per-device conv rule
+            params, net_state, self._opt_state, loss = self._train_step(
+                self.model.params, self.model.state or {}, self._opt_state, x, target, step_rng
+            )
         self.model.variables = {"params": params, **net_state}
         return loss
 
@@ -640,15 +678,20 @@ class Trainer:
         amp = self.amp
 
         prep = self._input_prep()
+        from ..nn.modules.conv import data_shards
 
         @jax.jit
-        def forward(variables, x):
+        def _forward(variables, x):
             x = prep(x)
             if amp:
                 params = jax.tree.map(lambda t: t.astype(jnp.bfloat16), variables["params"])
                 variables = {**variables, "params": params}
             out = module.apply(variables, x, train=False)
             return jax.tree.map(lambda o: o.astype(jnp.float32), out)
+
+        def forward(variables, x):
+            with data_shards(self._data_shards):  # first call traces: per-device conv rule
+                return _forward(variables, x)
 
         def loss_and_logits(variables, x, target):
             out = forward(variables, x)

@@ -45,13 +45,15 @@ class SegmentationTrainer(Trainer):
             bs = int(np.shape(x)[0])  # true size before any mesh padding
             x, target = self.to_device(x, target)
             self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
-            out = forward(self.model.variables, x)[:bs]
-            target = jax.tree.map(lambda t: t[:bs], target)
+            # _host_batch drops mesh padding AND (multi-host) gathers every host's
+            # real rows — the slice-then-asarray form would crash on global arrays
+            out = jnp.asarray(self._host_batch(forward(self.model.variables, x), bs))
+            target = jnp.asarray(self._host_batch(target, bs))
             loss = float(criterion(out, target))
             if math.isfinite(loss):
                 val_loss += loss
                 num_valid_batches += 1
-            conf_mat += np.asarray(conf_update(out, jnp.asarray(target)))
+            conf_mat += np.asarray(conf_update(out, target))
 
         val_loss /= max(num_valid_batches, 1)
         diag = np.diag(conf_mat)

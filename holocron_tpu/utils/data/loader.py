@@ -166,6 +166,11 @@ class DataLoader:
         self.shard_index = int(shard_index) if shard_index is not None else 0
         if not 0 <= self.shard_index < self.num_shards:
             raise ValueError(f"shard_index {self.shard_index} not in [0, {self.num_shards})")
+        # epoch counter for stateful collates (torch DistributedSampler.set_epoch
+        # analog): bumped at the top of every __iter__ and pushed to the collate's
+        # optional ``set_epoch`` hook, so per-batch augmentation seeds can vary
+        # across epochs while staying thread-order independent within one
+        self.epoch = -1
 
     def _shard_size(self) -> int:
         # wrap-padded strided split: every shard has exactly ceil(n / num_shards)
@@ -177,6 +182,10 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        self.epoch += 1
+        set_epoch = getattr(self.collate_fn, "set_epoch", None)
+        if set_epoch is not None:
+            set_epoch(self.epoch)
         indices = list(range(len(self.dataset)))
         if self.shuffle:
             # identical permutation on every host (same seed/state), THEN the

@@ -120,11 +120,16 @@ def build_datasets(args):
                 # DataLoader runs collates on a small pool, so a shared sequential
                 # Generator would make the draw order scheduler-dependent (and
                 # np.random.Generator is not thread-safe). Key each batch's seeds
-                # off its OWN bytes instead — stable across runs for a fixed
-                # shuffle seed, no shared mutable state between collate threads.
+                # off (seed, epoch, its OWN bytes) instead — stable across runs for
+                # a fixed shuffle seed, no shared mutable state between collate
+                # threads. The epoch term (pushed by DataLoader via set_epoch)
+                # matters: content alone would redraw the SAME crop/flip/augment for
+                # any recurring batch composition — every epoch at batch_size=1.
                 import zlib
 
-                entropy = [seed] + [zlib.crc32(bytes(b[:4096]), len(b)) for b in buffers]
+                entropy = [seed, train_collate.epoch] + [
+                    zlib.crc32(bytes(b[:4096]), len(b)) for b in buffers
+                ]
                 rng = np.random.default_rng(np.random.SeedSequence(entropy))
                 seeds = rng.integers(1, 2**63, size=2 * n, dtype=np.uint64)
                 x_u8 = decode_rrc_batch(
@@ -133,6 +138,9 @@ def build_datasets(args):
                 )
                 x = np.stack(list(pool.map(augment_one, zip(x_u8, seeds[n:]))))
                 return np.ascontiguousarray(x), np.asarray(ys)
+
+            train_collate.epoch = 0
+            train_collate.set_epoch = lambda e: setattr(train_collate, "epoch", e)
 
             val_collate = native_collate(
                 args.val_resize_size, args.val_resize_size, mean, std,
@@ -210,7 +218,9 @@ def main(args):
         collate_fn=collate, seed=getattr(args, "seed", 0), num_shards="auto",
     )
     val_loader = DataLoader(
-        val_set, args.batch_size, num_workers=args.workers, collate_fn=val_collate or default_collate
+        val_set, args.batch_size, num_workers=args.workers, collate_fn=val_collate or default_collate,
+        num_shards="auto",  # multi-host: each host feeds its own shard; unsharded, every
+        # host would push the FULL val set into the global batch, counting samples twice
     )
 
     model = classification.__dict__[args.arch](pretrained=args.pretrained, num_classes=num_classes)

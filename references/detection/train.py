@@ -93,7 +93,7 @@ def main(args):
         train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True,
         collate_fn=train_collate, num_shards="auto",
     )
-    val_loader = DataLoader(val_set, args.batch_size, num_workers=args.workers)
+    val_loader = DataLoader(val_set, args.batch_size, num_workers=args.workers, num_shards="auto")
 
     model = detection.__dict__[args.arch](
         pretrained=args.pretrained, pretrained_backbone=args.pretrained_backbone, num_classes=args.num_classes

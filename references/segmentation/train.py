@@ -66,7 +66,7 @@ def main(args):
     train_loader = DataLoader(
         train_set, args.batch_size, shuffle=True, num_workers=args.workers, drop_last=True, num_shards="auto"
     )
-    val_loader = DataLoader(val_set, args.batch_size, num_workers=args.workers)
+    val_loader = DataLoader(val_set, args.batch_size, num_workers=args.workers, num_shards="auto")
 
     model = segmentation.__dict__[args.arch](
         pretrained=args.pretrained, num_classes=args.num_classes

@@ -101,14 +101,23 @@ def test_conv_sequence_masked_dense_groups():
     assert not masked_dense_groups_wins(1, 64)  # wide groups fill the MXU natively
 
     # the cliff is per-device: a global batch of 64 over 8 data shards runs at
-    # batch 8 per chip, so sharded runners declare their shard count
-    try:
-        _conv.set_data_shards(8)
+    # batch 8 per chip, so sharded runners declare their shard count — SCOPED, so
+    # the declaration cannot leak into later unrelated single-device models
+    with _conv.data_shards(8):
         assert masked_dense_groups_wins(64, 4)  # 8/chip: inside the cliff
         assert not masked_dense_groups_wins(512, 4)  # 64/chip: above the crossover
-    finally:
-        _conv.set_data_shards(1)
-    assert not masked_dense_groups_wins(64, 4)  # reset back to unsharded
+    assert not masked_dense_groups_wins(64, 4)  # restored on scope exit
+
+    # the scope restores even on error, and nests
+    try:
+        with _conv.data_shards(8):
+            with _conv.data_shards(4):
+                assert masked_dense_groups_wins(128, 4)  # 32/chip: at the crossover
+            assert masked_dense_groups_wins(64, 4)  # back to 8 shards
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not masked_dense_groups_wins(64, 4)
 
     # gradients through the dense path equal the native grouped gradients (the
     # small-batch TRAINING path runs dense too — off-group weight grads are killed

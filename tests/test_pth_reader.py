@@ -193,6 +193,31 @@ def test_load_pretrained_params_sha256_mismatch_degrades(tmp_path, caplog):
     assert not jm.pretrained_loaded  # degrades to default init with a warning
 
 
+def test_download_cache_keyed_on_full_url(tmp_path):
+    """Two different URLs sharing a basename must not serve each other's bytes —
+    without a sha256 a basename-keyed cache would silently load the wrong weights."""
+    import os
+
+    from holocron_tpu.models.utils import _download_checkpoint
+
+    (tmp_path / "v1").mkdir()
+    (tmp_path / "v2").mkdir()
+    (tmp_path / "v1" / "model.pth").write_bytes(b"first release")
+    (tmp_path / "v2" / "model.pth").write_bytes(b"second release")
+
+    os.environ["HOLOCRON_CACHE_DIR"] = str(tmp_path / "cache")
+    try:
+        a = _download_checkpoint((tmp_path / "v1" / "model.pth").as_uri())
+        b = _download_checkpoint((tmp_path / "v2" / "model.pth").as_uri())
+        assert a.read_bytes() == b"first release"
+        assert b.read_bytes() == b"second release"
+        assert a != b
+        # second request for the first URL hits the cache (no re-download needed)
+        assert _download_checkpoint((tmp_path / "v1" / "model.pth").as_uri()) == a
+    finally:
+        del os.environ["HOLOCRON_CACHE_DIR"]
+
+
 def test_read_pth_runs_without_torch(tmp_path):
     """The read path must work when ``import torch`` raises — the package's own
     dependency set has no torch (VERDICT r2 item 1)."""

@@ -214,6 +214,23 @@ def test_quantize_model_warns_on_losing_arch(caplog):
     assert not any("LOSES" in rec.message for rec in caplog.records)
 
 
+def test_quantize_model_rejects_empty_calibration_iterable():
+    """An exhausted generator must fail loudly, not silently degrade to dynamic
+    scales while the caller believes static calibration was applied."""
+    import pytest
+
+    from holocron_tpu import models
+
+    model = models.__dict__["repvgg_a0"](num_classes=4)
+    model.init((1, 32, 32, 3))
+    with pytest.raises(ValueError, match="empty"):
+        quantize_model(model, calibration_batches=iter(()))
+    # a (non-empty) generator works — the 'any iterable' contract
+    gen = (jax.random.normal(jax.random.key(i), (1, 32, 32, 3)) for i in range(2))
+    qm = quantize_model(model, calibration_batches=gen)
+    assert qm.act_scales
+
+
 def test_quantized_model_cache_invalidation():
     """Reassigning qparams must drop the cached jit (they are baked in as constants,
     ADVICE r2)."""

@@ -179,6 +179,29 @@ def test_classification_native_pipeline_seed_reproducible(tmp_path):
     for a, b in zip(e1, e2):
         np.testing.assert_array_equal(a, b)
 
+    # ...and the augmentation draws must VARY across epochs even at batch_size=1
+    # (content-only seeding would redraw the same crop for every recurring batch
+    # composition): iterate the same loader twice — the DataLoader pushes its epoch
+    # counter into the collate via set_epoch
+    args = argparse.Namespace(
+        data_path=str(tmp_path), dataset="imagenette", num_classes=2, batch_size=1,
+        workers=2, train_crop_size=32, val_resize_size=40, val_crop_size=32,
+        random_erase=0.5, no_native=False, fake_samples=0, seed=123,
+    )
+    train_set, _, _, train_collate, _, _ = mod.build_datasets(args)
+    loader_b1 = DataLoader(train_set, batch_size=1, shuffle=False, seed=123,
+                           collate_fn=train_collate, num_workers=2)
+    ep1 = np.concatenate([np.asarray(x) for x, _ in loader_b1])
+    ep2 = np.concatenate([np.asarray(x) for x, _ in loader_b1])
+    assert np.abs(ep1.astype(np.int32) - ep2.astype(np.int32)).max() > 2
+
+    # two fresh same-seed runs still reproduce epoch-for-epoch
+    train_set_c, _, _, collate_c, _, _ = mod.build_datasets(args)
+    loader_c = DataLoader(train_set_c, batch_size=1, shuffle=False, seed=123,
+                          collate_fn=collate_c, num_workers=2)
+    np.testing.assert_array_equal(ep1, np.concatenate([np.asarray(x) for x, _ in loader_c]))
+    np.testing.assert_array_equal(ep2, np.concatenate([np.asarray(x) for x, _ in loader_c]))
+
 
 def test_classification_cli_rejects_unknown_arch(monkeypatch):
     with pytest.raises(KeyError):

@@ -498,6 +498,27 @@ def test_partial_batch_drop():
         make_trainer(partial_batch="bogus")
 
 
+def test_to_device_is_idempotent():
+    """The train loop's prefetch places batches ahead of _run_step_async, which
+    calls to_device again — the second call must be a no-op (multi-host it would
+    otherwise re-assemble the global array and crash/duplicate the batch)."""
+    trainer = make_trainer()
+    x = np.zeros((8, 16, 16, 3), np.float32)
+    y = np.arange(8, dtype=np.int32)
+    x1, y1 = trainer.to_device(x, y)
+    x2, y2 = trainer.to_device(x1, y1)
+    assert x2.shape == x1.shape and x2.sharding == x1.sharding
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
+
+
+def test_mesh_data_axis_must_divide_process_count(monkeypatch):
+    """2 hosts whose model axis eats the whole mesh must fail at construction with
+    a clear error, not a ZeroDivisionError on the first batch."""
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    with pytest.raises(ValueError, match="process count"):
+        make_trainer()  # 8-device data mesh, 8 % 3 != 0
+
+
 def test_sharded_matches_single_device_trajectory():
     """The one multi-chip correctness claim the CPU mesh can prove: an 8-way
     data-sharded fit reproduces the single-device loss trajectory and final params."""
