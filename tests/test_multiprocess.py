@@ -1,0 +1,92 @@
+"""True multi-process certification of the multi-host training path.
+
+Everything else in the suite runs multi-DEVICE but single-PROCESS; these tests run
+the trainer across two OS processes joined by ``jax.distributed`` (4 virtual CPU
+devices each, one 8-device global mesh, Gloo collectives) — the same topology as a
+multi-host TPU pod. This is the only place ``host_local_put``'s
+``make_array_from_process_local_data`` branch, the ``DataLoader`` shard split and
+the ``_host_batch`` eval gather actually execute with ``jax.process_count() > 1``.
+
+The contract asserted: a 2-process run reproduces the single-process 8-device
+run's final parameters and eval metrics on identical deterministic data. Batch
+composition per step matches as a SET (the strided shard split permutes rows
+within each global batch; loss means, gradient means and BN batch stats are all
+order-invariant), so trajectories agree to float32 reduction noise.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+WORKER = Path(__file__).resolve().parent / "mp_worker_train.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env() -> dict:
+    env = os.environ.copy()
+    # the worker picks its own platform/device count; don't inherit conftest's
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = f"{REPO_ROOT}:{env.get('PYTHONPATH', '')}"
+    return env
+
+
+def _run_workers(nproc: int, outdir: Path, timeout: int = 900) -> None:
+    outdir.mkdir(parents=True, exist_ok=True)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(i), str(nproc), str(port), str(outdir)],
+            cwd=REPO_ROOT,
+            env=_worker_env(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        assert "WORKER_DONE" in out
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    mp_dir, sp_dir = tmp_path / "mp", tmp_path / "sp"
+    _run_workers(2, mp_dir)
+    _run_workers(1, sp_dir)
+
+    got = np.load(mp_dir / "params.npz")
+    want = np.load(sp_dir / "params.npz")
+    assert set(got.files) == set(want.files)
+    for k in want.files:
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=2e-4, atol=2e-5,
+            err_msg=f"param {k} diverged between 2-process and single-process runs",
+        )
+
+    m_mp = json.load(open(mp_dir / "metrics.json"))
+    m_sp = json.load(open(sp_dir / "metrics.json"))
+    assert m_mp["acc1"] == pytest.approx(m_sp["acc1"], abs=1e-9)
+    assert m_mp["acc5"] == pytest.approx(m_sp["acc5"], abs=1e-9)
+    assert m_mp["val_loss"] == pytest.approx(m_sp["val_loss"], rel=1e-3)
