@@ -10,7 +10,13 @@ multi-host code paths (``Trainer.to_device``, ``DataLoader(num_shards="auto")``,
 in a single process. The reference has no distributed support at all (SURVEY.md
 §2i); this certifies the beyond-parity multi-host path.
 
-Usage: python mp_worker_train.py <process_id> <num_processes> <port> <outdir>
+Usage: python mp_worker_train.py <process_id> <num_processes> <port> <outdir> [variant]
+
+``variant`` selects the scaling mode under certification: ``plain`` (pure DP),
+``zero1`` (optimizer-state sharding), ``tp`` (2-way tensor parallel over a
+data x model mesh), ``spatial`` (2-way H-sharding over a data x spatial mesh).
+All are trajectory-equal to plain DP by construction, so every variant is
+compared against the same single-process reference run.
 
 With num_processes == 1 this is the single-process reference run over the same
 8-device mesh and the same deterministic data; test_multiprocess.py asserts the
@@ -44,6 +50,7 @@ class DeterministicDataset:
 
 def main() -> None:
     pid, nproc, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    variant = sys.argv[5] if len(sys.argv) > 5 else "plain"
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={8 // nproc}"
     import jax
 
@@ -71,21 +78,36 @@ def main() -> None:
         DeterministicDataset(16, seed=7), batch_size=local_bs, num_workers=1, num_shards="auto"
     )
     model = Model(RepVGG([1], [8], 1.0, 1.0, num_classes=5))
+    extra = {
+        "plain": {},
+        "zero1": {"shard_opt_state": True},
+        "tp": {"model_parallel": 2},
+        "spatial": {"spatial_parallel": 2},
+    }[variant]
     trainer = ClassificationTrainer(
         model=model,
         train_loader=train_loader,
         val_loader=val_loader,
         criterion=cross_entropy,
         optimizer=lambda lr: optim.adabelief(lr=lr),
+        **extra,
     )
     trainer.fit_n_epochs(2, lr=1e-3)
     metrics = trainer.evaluate()
+
+    def to_host(v):
+        # tp/spatial leave params sharded: replicate through a jitted identity —
+        # a collective, so EVERY process runs this, only pid 0 writes the result
+        if isinstance(v, jax.Array) and not v.is_fully_addressable:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            v = jax.jit(lambda t: t, out_shardings=NamedSharding(trainer.mesh, PartitionSpec()))(v)
+        return np.asarray(v)
+
+    leaves = jax.tree_util.tree_flatten_with_path(model.params)[0]
+    params_np = {jax.tree_util.keystr(p): to_host(v) for p, v in leaves}
     if pid == 0:
-        leaves = jax.tree_util.tree_flatten_with_path(model.params)[0]
-        np.savez(
-            os.path.join(outdir, "params.npz"),
-            **{jax.tree_util.keystr(p): np.asarray(v) for p, v in leaves},
-        )
+        np.savez(os.path.join(outdir, "params.npz"), **params_np)
         with open(os.path.join(outdir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
     print(f"[{pid}] WORKER_DONE", flush=True)

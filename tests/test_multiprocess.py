@@ -43,12 +43,12 @@ def _worker_env() -> dict:
     return env
 
 
-def _run_workers(nproc: int, outdir: Path, timeout: int = 900) -> None:
+def _run_workers(nproc: int, outdir: Path, variant: str = "plain", timeout: int = 900) -> None:
     outdir.mkdir(parents=True, exist_ok=True)
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), str(nproc), str(port), str(outdir)],
+            [sys.executable, str(WORKER), str(i), str(nproc), str(port), str(outdir), variant],
             cwd=REPO_ROOT,
             env=_worker_env(),
             stdout=subprocess.PIPE,
@@ -71,22 +71,42 @@ def _run_workers(nproc: int, outdir: Path, timeout: int = 900) -> None:
         assert "WORKER_DONE" in out
 
 
-def test_two_process_training_matches_single_process(tmp_path):
-    mp_dir, sp_dir = tmp_path / "mp", tmp_path / "sp"
-    _run_workers(2, mp_dir)
+@pytest.fixture(scope="module")
+def single_process_reference(tmp_path_factory):
+    """One single-process 8-device run — every 2-process variant compares to it
+    (zero1/tp/spatial are trajectory-equal to plain DP by construction)."""
+    sp_dir = tmp_path_factory.mktemp("sp")
     _run_workers(1, sp_dir)
+    return sp_dir
 
-    got = np.load(mp_dir / "params.npz")
-    want = np.load(sp_dir / "params.npz")
+
+def _assert_matches(got_dir: Path, want_dir: Path, rtol: float, atol: float) -> None:
+    got = np.load(got_dir / "params.npz")
+    want = np.load(want_dir / "params.npz")
     assert set(got.files) == set(want.files)
     for k in want.files:
         np.testing.assert_allclose(
-            got[k], want[k], rtol=2e-4, atol=2e-5,
-            err_msg=f"param {k} diverged between 2-process and single-process runs",
+            got[k], want[k], rtol=rtol, atol=atol,
+            err_msg=f"param {k} diverged from the single-process run",
         )
+    m_got = json.load(open(got_dir / "metrics.json"))
+    m_want = json.load(open(want_dir / "metrics.json"))
+    assert m_got["acc1"] == pytest.approx(m_want["acc1"], abs=1e-9)
+    assert m_got["acc5"] == pytest.approx(m_want["acc5"], abs=1e-9)
+    assert m_got["val_loss"] == pytest.approx(m_want["val_loss"], rel=1e-3)
 
-    m_mp = json.load(open(mp_dir / "metrics.json"))
-    m_sp = json.load(open(sp_dir / "metrics.json"))
-    assert m_mp["acc1"] == pytest.approx(m_sp["acc1"], abs=1e-9)
-    assert m_mp["acc5"] == pytest.approx(m_sp["acc5"], abs=1e-9)
-    assert m_mp["val_loss"] == pytest.approx(m_sp["val_loss"], rel=1e-3)
+
+def test_two_process_training_matches_single_process(tmp_path, single_process_reference):
+    _run_workers(2, tmp_path / "mp")
+    _assert_matches(tmp_path / "mp", single_process_reference, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["zero1", "tp", "spatial"])
+def test_two_process_scaling_variants_match_single_process(
+    tmp_path, single_process_reference, variant
+):
+    """ZeRO-1 / tensor-parallel / spatial-parallel each certified under REAL
+    multi-process execution: a (data x model|spatial) mesh spanning two OS
+    processes must still reproduce the plain single-process trajectory."""
+    _run_workers(2, tmp_path / variant, variant=variant)
+    _assert_matches(tmp_path / variant, single_process_reference, rtol=5e-4, atol=5e-5)
