@@ -276,17 +276,37 @@ class Trainer:
         A path with a file suffix writes a single msgpack file; a suffix-less path is
         treated as an orbax checkpoint directory (async-friendly, sharding-aware — the
         TPU-native format for large models).
+
+        Multi-host: tensor-parallel shards are replicated through a jitted identity
+        first — a collective, so EVERY process must call ``save`` in lockstep (the
+        fit loop does: the best-on-val_loss decision is identical on all hosts) —
+        and only process 0 writes the msgpack file (orbax coordinates internally).
         """
+
+        def to_host(leaf):
+            if (
+                isinstance(leaf, jax.Array)
+                and not leaf.is_fully_addressable
+                and not leaf.is_fully_replicated
+            ):
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                leaf = jax.jit(
+                    lambda t: t, out_shardings=NamedSharding(self.mesh, PartitionSpec())
+                )(leaf)
+            return np.asarray(leaf)
+
         state = {
             "epoch": self.epoch,
             "step": self.step,
             "min_loss": self.min_loss,
-            "model": jax.tree.map(np.asarray, self.model.variables),
+            "model": jax.tree.map(to_host, self.model.variables),
         }
         path = Path(output_file)
         if path.suffix:
-            path.parent.mkdir(parents=True, exist_ok=True)
-            path.write_bytes(serialization.msgpack_serialize(state))
+            if jax.process_index() == 0:
+                path.parent.mkdir(parents=True, exist_ok=True)
+                path.write_bytes(serialization.msgpack_serialize(state))
         else:
             import orbax.checkpoint as ocp
 

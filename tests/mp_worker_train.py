@@ -106,7 +106,17 @@ def main() -> None:
 
     leaves = jax.tree_util.tree_flatten_with_path(model.params)[0]
     params_np = {jax.tree_util.keystr(p): to_host(v) for p, v in leaves}
+
+    # checkpoint round-trip under this topology: save() gathers tensor-parallel
+    # shards collectively (all processes) and writes on process 0 only
+    ckpt = os.path.join(outdir, f"trainer_ckpt_{nproc}p.msgpack")
+    trainer.save(ckpt)
     if pid == 0:
+        from flax import serialization
+
+        restored = serialization.msgpack_restore(open(ckpt, "rb").read())
+        for p, v in jax.tree_util.tree_flatten_with_path(restored["model"]["params"])[0]:
+            np.testing.assert_array_equal(np.asarray(v), params_np[jax.tree_util.keystr(p)])
         np.savez(os.path.join(outdir, "params.npz"), **params_np)
         with open(os.path.join(outdir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
