@@ -280,7 +280,10 @@ def main(args):
         return
 
     on_epoch_end = None
-    if args.wb:
+    import jax
+
+    # multi-host: metrics are identical on every host — log from process 0 only
+    if args.wb and jax.process_index() == 0:
         import wandb
 
         run = wandb.init(name=args.name, project="holocron-tpu-classification", config=vars(args))
@@ -291,7 +294,7 @@ def main(args):
     start_time = time.time()
     trainer.fit_n_epochs(args.epochs, args.lr, args.freeze_until, args.sched, norm_weight_decay=args.norm_wd)
     print(f"Training time {datetime.timedelta(seconds=int(time.time() - start_time))}")
-    if args.wb:
+    if args.wb and jax.process_index() == 0:
         run.finish()
     if args.codecarbon:
         tracker.stop()
