@@ -5,6 +5,7 @@ Reference: holocron/nn/modules/conv.py.
 
 import contextlib
 import math
+import threading
 from typing import List, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -29,18 +30,24 @@ DENSE_GROUPS_MAX_BATCH = 32
 # PER-DEVICE property: a global batch of 64 spread over 8 chips executes as batch 8
 # per chip — deep inside the cliff — so sharded runners (shard_inference, the
 # Trainer) declare their data-axis size here before tracing and the auto rule keys
-# on the per-device batch. Default 1 = unsharded/single-chip.
-_DATA_SHARDS = 1
+# on the per-device batch. Default 1 = unsharded/single-chip. THREAD-LOCAL: a
+# serving thread tracing a single-device model concurrently with a sharded
+# callable's scoped declaration on another thread must not observe it.
+_DATA_SHARDS_TLS = threading.local()
+
+
+def _get_data_shards() -> int:
+    return getattr(_DATA_SHARDS_TLS, "n", 1)
 
 
 def set_data_shards(n: int) -> None:
-    """Declares the data-axis shard count consulted by :func:`masked_dense_groups_wins`.
+    """Declares the data-axis shard count consulted by :func:`masked_dense_groups_wins`
+    (for the CURRENT thread).
 
     Affects functions traced AFTER the call (jit caches built earlier keep their
     choice). Prefer the scoped :func:`data_shards` — sharded runners trace inside
     it so the declaration can never leak into later unrelated single-device models."""
-    global _DATA_SHARDS
-    _DATA_SHARDS = max(int(n), 1)
+    _DATA_SHARDS_TLS.n = max(int(n), 1)
 
 
 @contextlib.contextmanager
@@ -48,16 +55,15 @@ def data_shards(n: int):
     """Scopes :func:`set_data_shards` to a with-block (and restores the previous
     value on exit). ``shard_inference``'s returned callable and the trainer's step
     dispatch wrap every call in this, so the per-device rule is active exactly while
-    THEIR jits trace — a process-global left permanently at 8 would silently flip
-    later unrelated models onto the dense form at batches where the native grouped
-    emitter wins."""
-    global _DATA_SHARDS
-    prev = _DATA_SHARDS
-    _DATA_SHARDS = max(int(n), 1)
+    THEIR jits trace (every call, not just the first: a new batch shape retraces
+    later and must see the same declaration). The state is thread-local, so other
+    threads tracing unrelated models concurrently are unaffected."""
+    prev = _get_data_shards()
+    _DATA_SHARDS_TLS.n = max(int(n), 1)
     try:
         yield
     finally:
-        _DATA_SHARDS = prev
+        _DATA_SHARDS_TLS.n = prev
 
 
 def masked_dense_groups_wins(batch: int, in_per_group: int) -> bool:
@@ -67,7 +73,7 @@ def masked_dense_groups_wins(batch: int, in_per_group: int) -> bool:
     (rexnet/mobileone measure at full speed). ``batch`` is the global batch; the
     rule divides by the declared data-shard count (:func:`set_data_shards`) since
     the cliff is per-device."""
-    per_device = -(-batch // _DATA_SHARDS)
+    per_device = -(-batch // _get_data_shards())
     return 1 < in_per_group < 32 and per_device <= DENSE_GROUPS_MAX_BATCH
 
 

@@ -1,7 +1,7 @@
 from . import collectives
 from .inference import shard_inference, tensor_parallel_specs
 from .mesh import batch_sharding, create_mesh, replicated, shard_batch
-from .multihost import host_local_put, hybrid_mesh, initialize, num_slices
+from .multihost import host_local_put, hybrid_mesh, initialize, num_slices, replicate_to_host
 from .pipeline import pipeline_blocks
 from .spatial import shard_spatial_inference, spatial_sharding
 
@@ -9,6 +9,7 @@ __all__ = [
     "batch_sharding",
     "create_mesh",
     "host_local_put",
+    "replicate_to_host",
     "hybrid_mesh",
     "initialize",
     "num_slices",

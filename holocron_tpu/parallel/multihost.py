@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["host_local_put", "hybrid_mesh", "initialize", "num_slices"]
+__all__ = ["host_local_put", "hybrid_mesh", "initialize", "num_slices", "replicate_to_host"]
 
 _INITIALIZED = False
 
@@ -73,6 +73,26 @@ def host_local_put(data, sharding):
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sharding, np.asarray(data))
     return jax.device_put(data, sharding)
+
+
+def replicate_to_host(leaf, mesh) -> np.ndarray:
+    """Returns ``leaf`` as a host numpy array, replicate-gathering sharded
+    (non-addressable, non-replicated) leaves through a jitted identity first.
+
+    The gather is a COLLECTIVE: under multi-process, every process must call this
+    in lockstep for the same leaves (then typically only process 0 writes the
+    result). Fully-replicated and addressable leaves are read directly. Used by
+    ``Trainer.save``'s msgpack branch and the multi-process certification worker.
+    """
+    if (
+        isinstance(leaf, jax.Array)
+        and not leaf.is_fully_addressable
+        and not leaf.is_fully_replicated
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        leaf = jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, PartitionSpec()))(leaf)
+    return np.asarray(leaf)
 
 
 def num_slices() -> int:

@@ -258,6 +258,10 @@ class Trainer:
         every host sees the SAME full validation view and eval counters need no
         further cross-host reduction. A plain ``np.asarray`` here would raise on the
         non-addressable shards — never read eval outputs back any other way.
+
+        Known caveat (torch ``DistributedSampler`` parity): when the val-set size
+        does not divide the process count, the sharded loader wrap-pads each shard,
+        so up to ``process_count - 1`` samples are counted twice in eval metrics.
         """
         if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
             from jax.experimental import multihost_utils
@@ -277,33 +281,25 @@ class Trainer:
         treated as an orbax checkpoint directory (async-friendly, sharding-aware — the
         TPU-native format for large models).
 
-        Multi-host: tensor-parallel shards are replicated through a jitted identity
-        first — a collective, so EVERY process must call ``save`` in lockstep (the
-        fit loop does: the best-on-val_loss decision is identical on all hosts) —
-        and only process 0 writes the msgpack file (orbax coordinates internally).
+        Multi-host: on the msgpack path, tensor-parallel shards are replicated
+        through a jitted identity first (:func:`~holocron_tpu.parallel.replicate_to_host`)
+        — a collective, so EVERY process must call ``save`` in lockstep (the fit
+        loop does: the best-on-val_loss decision is identical on all hosts) — and
+        only process 0 writes the file. The orbax path hands the LIVE (possibly
+        sharded) arrays over — orbax is sharding-aware, each host writes only its
+        own shards, so a tensor-parallel model too large to replicate still saves.
         """
-
-        def to_host(leaf):
-            if (
-                isinstance(leaf, jax.Array)
-                and not leaf.is_fully_addressable
-                and not leaf.is_fully_replicated
-            ):
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                leaf = jax.jit(
-                    lambda t: t, out_shardings=NamedSharding(self.mesh, PartitionSpec())
-                )(leaf)
-            return np.asarray(leaf)
-
-        state = {
-            "epoch": self.epoch,
-            "step": self.step,
-            "min_loss": self.min_loss,
-            "model": jax.tree.map(to_host, self.model.variables),
-        }
+        meta = {"epoch": self.epoch, "step": self.step, "min_loss": self.min_loss}
         path = Path(output_file)
         if path.suffix:
+            from ..parallel.multihost import replicate_to_host
+
+            state = {
+                **meta,
+                "model": jax.tree.map(
+                    lambda leaf: replicate_to_host(leaf, self.mesh), self.model.variables
+                ),
+            }
             if jax.process_index() == 0:
                 path.parent.mkdir(parents=True, exist_ok=True)
                 path.write_bytes(serialization.msgpack_serialize(state))
@@ -311,7 +307,7 @@ class Trainer:
             import orbax.checkpoint as ocp
 
             with ocp.StandardCheckpointer() as ckptr:
-                ckptr.save(path.resolve(), state, force=True)
+                ckptr.save(path.resolve(), {**meta, "model": self.model.variables}, force=True)
 
     def load(self, state: Union[str, Dict[str, Any]]) -> None:
         """Resumes from a trainer state dict or checkpoint path (core.py:126-133)."""

@@ -7,6 +7,7 @@ eval time (it is inherently dynamic-shaped); the training loss stays fully jitte
 
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,7 +72,14 @@ class DetectionTrainer(Trainer):
         return f"Loc error: {loc_str} | Clf error: {clf_str} | Det error: {det_str}"
 
     def evaluate(self, iou_threshold: float = 0.5) -> Dict[str, Optional[float]]:
-        """IoU-assignment error rates (reference detection.py:84-126)."""
+        """IoU-assignment error rates (reference detection.py:84-126).
+
+        Multi-host: each process evaluates only its own val-loader shard
+        (``num_shards="auto"`` in the CLI), then the integer counters are summed
+        across processes — every host returns the SAME metrics, which the fit
+        loop's save-on-best decision (a collective under tensor parallelism)
+        depends on.
+        """
         loc_assigns = 0
         correct, clf_error, loc_fn, loc_fp, num_samples = 0, 0, 0, 0, 0
         for x, target in self.val_loader:
@@ -93,6 +101,16 @@ class DetectionTrainer(Trainer):
                 loc_fn += t_boxes.shape[0] - len(gt_indices)
                 loc_fp += d_boxes.shape[0] - len(pred_indices)
             num_samples += sum(np.asarray(t["boxes"]).shape[0] for t in target)
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            counters = np.array(
+                [loc_assigns, correct, clf_error, loc_fn, loc_fp, num_samples], np.int64
+            )
+            loc_assigns, correct, clf_error, loc_fn, loc_fp, num_samples = (
+                int(v) for v in np.asarray(multihost_utils.process_allgather(counters)).sum(0)
+            )
 
         nb_preds = num_samples - loc_fn + loc_fp
         loc_err = 1 - 2 * loc_assigns / (nb_preds + num_samples) if nb_preds + num_samples > 0 else None

@@ -45,10 +45,17 @@ class SegmentationTrainer(Trainer):
             bs = int(np.shape(x)[0])  # true size before any mesh padding
             x, target = self.to_device(x, target)
             self.model._ensure_init(x)  # supports evaluate-before-fit (--test-only)
-            # _host_batch drops mesh padding AND (multi-host) gathers every host's
-            # real rows — the slice-then-asarray form would crash on global arrays
-            out = jnp.asarray(self._host_batch(forward(self.model.variables, x), bs))
-            target = jnp.asarray(self._host_batch(target, bs))
+            out = forward(self.model.variables, x)
+            if isinstance(out, jax.Array) and not out.is_fully_addressable:
+                # multi-host: gather every host's real rows (a tail slice can't
+                # drop the per-shard padding of a global array). The dense-logit
+                # host round-trip is the price of the gather — multi-host only;
+                # single-host stays on device below.
+                out = jnp.asarray(self._host_batch(out, bs))
+                target = jnp.asarray(self._host_batch(target, bs))
+            else:
+                out = out[:bs]
+                target = jnp.asarray(target)[:bs]
             loss = float(criterion(out, target))
             if math.isfinite(loss):
                 val_loss += loss

@@ -95,17 +95,12 @@ def main() -> None:
     trainer.fit_n_epochs(2, lr=1e-3)
     metrics = trainer.evaluate()
 
-    def to_host(v):
-        # tp/spatial leave params sharded: replicate through a jitted identity —
-        # a collective, so EVERY process runs this, only pid 0 writes the result
-        if isinstance(v, jax.Array) and not v.is_fully_addressable:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            v = jax.jit(lambda t: t, out_shardings=NamedSharding(trainer.mesh, PartitionSpec()))(v)
-        return np.asarray(v)
+    # tp leaves params sharded: the shared helper replicate-gathers collectively
+    # (EVERY process runs this; only pid 0 writes the result below)
+    from holocron_tpu.parallel import replicate_to_host
 
     leaves = jax.tree_util.tree_flatten_with_path(model.params)[0]
-    params_np = {jax.tree_util.keystr(p): to_host(v) for p, v in leaves}
+    params_np = {jax.tree_util.keystr(p): replicate_to_host(v, trainer.mesh) for p, v in leaves}
 
     # checkpoint round-trip under this topology: save() gathers tensor-parallel
     # shards collectively (all processes) and writes on process 0 only

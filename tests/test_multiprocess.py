@@ -57,18 +57,27 @@ def _run_workers(nproc: int, outdir: Path, variant: str = "plain", timeout: int 
         )
         for i in range(nproc)
     ]
+    # wait-any loop: if one worker dies, its peer blocks forever on a collective —
+    # kill the survivors promptly and surface the CRASHED worker's output (a
+    # sequential communicate() would burn the whole timeout and hide the diagnosis)
+    import time
+
+    deadline = time.monotonic() + timeout
+    while any(p.poll() is None for p in procs):
+        if any(p.poll() is not None and p.returncode != 0 for p in procs):
+            break  # a worker failed; stop waiting on the (soon-to-hang) others
+        if time.monotonic() > deadline:
+            break
+        time.sleep(0.5)
     outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    for p in procs:
+        if p.poll() is None:
+            p.kill()
+        out, _ = p.communicate()
+        outs.append(out)
+    report = "\n".join(f"--- worker {i} (rc={p.returncode}) ---\n{o}" for i, (p, o) in enumerate(zip(procs, outs)))
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
-        assert "WORKER_DONE" in out
+        assert p.returncode == 0 and "WORKER_DONE" in out, f"worker failed:\n{report}"
 
 
 @pytest.fixture(scope="module")
