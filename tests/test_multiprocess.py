@@ -26,6 +26,7 @@ import pytest
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 WORKER = Path(__file__).resolve().parent / "mp_worker_train.py"
+DET_WORKER = Path(__file__).resolve().parent / "mp_worker_detection_eval.py"
 
 
 def _free_port() -> int:
@@ -43,12 +44,14 @@ def _worker_env() -> dict:
     return env
 
 
-def _run_workers(nproc: int, outdir: Path, variant: str = "plain", timeout: int = 900) -> None:
+def _run_workers(
+    nproc: int, outdir: Path, variant: str = "plain", timeout: int = 900, script: Path = WORKER
+) -> None:
     outdir.mkdir(parents=True, exist_ok=True)
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), str(nproc), str(port), str(outdir), variant],
+            [sys.executable, str(script), str(i), str(nproc), str(port), str(outdir), variant],
             cwd=REPO_ROOT,
             env=_worker_env(),
             stdout=subprocess.PIPE,
@@ -119,3 +122,17 @@ def test_two_process_scaling_variants_match_single_process(
     processes must still reproduce the plain single-process trajectory."""
     _run_workers(2, tmp_path / variant, variant=variant)
     _assert_matches(tmp_path / variant, single_process_reference, rtol=5e-4, atol=5e-5)
+
+
+def test_two_process_detection_eval_counters_match(tmp_path):
+    """Detection eval runs host-side over each process's loader shard; the
+    cross-process counter sum must make every host report the single-process
+    metrics (the save-on-best decision depends on them being identical)."""
+    _run_workers(2, tmp_path / "mp", script=DET_WORKER)
+    _run_workers(1, tmp_path / "sp", script=DET_WORKER)
+    m_mp = json.load(open(tmp_path / "mp" / "det_metrics.json"))
+    m_sp = json.load(open(tmp_path / "sp" / "det_metrics.json"))
+    assert m_mp == m_sp
+    # the crafted stub makes half the boxes loc misses — a sanity anchor that the
+    # counters actually moved (an all-zero reduction would also "match")
+    assert m_sp["loc_err"] == pytest.approx(0.5, abs=1e-6)
