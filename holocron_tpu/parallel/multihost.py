@@ -39,21 +39,28 @@ def initialize(
     auto-detected by jax and may be omitted entirely.
     """
     global _INITIALIZED
-    if _INITIALIZED or jax.process_count() > 1:
-        _INITIALIZED = True
+    if _INITIALIZED:
         return
+    # IMPORTANT: decide from the ENV only — probing jax.process_count() here would
+    # initialize the backend before jax.distributed.initialize, which both reads 1
+    # (distributed context not joined yet) and breaks the subsequent join
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     num_processes = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "0")) or None
     process_id = process_id if process_id is not None else (
         int(os.environ["JAX_PROCESS_ID"]) if "JAX_PROCESS_ID" in os.environ else None
     )
     if coordinator_address is None and num_processes is None:
-        return  # single-process run: nothing to join
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        _INITIALIZED = True
+        return  # single-process run (or Cloud TPU pod auto-detection): nothing to join
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:  # the user already joined the runtime themselves
+        if "once" not in str(exc):
+            raise
     _INITIALIZED = True
 
 

@@ -75,6 +75,13 @@ def build_datasets(args):
 def main(args):
     print(args)
 
+    # joins the multi-process jax runtime when launched on a pod (env-driven:
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, auto-detected
+    # on Cloud TPU); a no-op for single-process runs. Must run before any jax call.
+    from holocron_tpu.parallel import initialize
+
+    initialize()
+
     from holocron_tpu import optim
     from holocron_tpu.models import detection
     from holocron_tpu.models.detection import pad_targets

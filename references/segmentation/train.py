@@ -54,6 +54,13 @@ def build_datasets(args):
 def main(args):
     print(args)
 
+    # joins the multi-process jax runtime when launched on a pod (env-driven:
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, auto-detected
+    # on Cloud TPU); a no-op for single-process runs. Must run before any jax call.
+    from holocron_tpu.parallel import initialize
+
+    initialize()
+
     import jax.numpy as jnp
 
     from holocron_tpu import optim

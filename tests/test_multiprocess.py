@@ -124,6 +124,36 @@ def test_two_process_scaling_variants_match_single_process(
     _assert_matches(tmp_path / variant, single_process_reference, rtol=5e-4, atol=5e-5)
 
 
+def test_initialize_joins_runtime_from_env(tmp_path):
+    """parallel.initialize() must join the distributed runtime from the standard
+    env vars WITHOUT touching the jax backend first (a process_count() probe
+    before the join both reads 1 and poisons jax.distributed.initialize)."""
+    port = _free_port()
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from holocron_tpu.parallel import initialize; initialize();"
+        "assert jax.process_count() == 2, jax.process_count();"
+        "initialize();"  # idempotent
+        "print('INIT_OK', jax.process_index())"
+    )
+    procs = []
+    for i in range(2):
+        env = _worker_env()
+        env.update({
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(i),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], cwd=REPO_ROOT, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0 and "INIT_OK" in out, f"initialize() failed:\n{out}"
+
+
 def test_two_process_detection_eval_counters_match(tmp_path):
     """Detection eval runs host-side over each process's loader shard; the
     cross-process counter sum must make every host report the single-process
