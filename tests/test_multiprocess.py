@@ -27,6 +27,7 @@ import pytest
 REPO_ROOT = Path(__file__).resolve().parent.parent
 WORKER = Path(__file__).resolve().parent / "mp_worker_train.py"
 DET_WORKER = Path(__file__).resolve().parent / "mp_worker_detection_eval.py"
+PIPE_WORKER = Path(__file__).resolve().parent / "mp_worker_pipeline.py"
 
 
 def _free_port() -> int:
@@ -152,6 +153,18 @@ def test_initialize_joins_runtime_from_env(tmp_path):
     outs = [p.communicate(timeout=300)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0 and "INIT_OK" in out, f"initialize() failed:\n{out}"
+
+
+def test_two_process_pipeline_hops_cross_process(tmp_path):
+    """GPipe microbatch hops (lax.ppermute) must be correct when the pipe mesh
+    spans two OS processes — the hop at the stage-4/5 boundary crosses the
+    inter-process transport, which no single-process test can execute. Both
+    topologies must also produce the same output."""
+    _run_workers(2, tmp_path / "mp", script=PIPE_WORKER)
+    _run_workers(1, tmp_path / "sp", script=PIPE_WORKER)
+    got = np.load(tmp_path / "mp" / "pipeline_out.npy")
+    want = np.load(tmp_path / "sp" / "pipeline_out.npy")
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
 def test_two_process_detection_eval_counters_match(tmp_path):
