@@ -184,6 +184,7 @@ def main() -> None:
             "unit": "images/sec/chip",
             "form": form,
             "batch": batch,
+            "source": "bench.py auto-append (single-chip run)",
         }
         p = pathlib.Path("docs/bench/headline.jsonl")
         p.parent.mkdir(parents=True, exist_ok=True)
