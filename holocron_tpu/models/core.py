@@ -156,6 +156,18 @@ class Model:
         self._eval_fn = None
         self._train_fns = {}
 
+    def stage_variables(self, prefix: str) -> Dict[str, Any]:
+        """Stacked variables of the ``{prefix}0, {prefix}1, …`` sibling-block run —
+        the :func:`~holocron_tpu.parallel.pipeline_blocks` input form. The Model
+        hook for pipeline parallelism: e.g. ``darknet53`` exposes its 8-block
+        512-channel stage as ``model.stage_variables("layer_3_block_")``. See
+        :func:`holocron_tpu.parallel.pipeline_module` and docs scaling guide."""
+        if self.variables is None:
+            raise RuntimeError("model parameters are not initialized — run init() first")
+        from ..parallel.pipeline import stack_stage_variables
+
+        return stack_stage_variables(self.variables, prefix)
+
     # ------------------------------------------------------------------
     # reparametrization (RepVGG / MobileOne style)
     # ------------------------------------------------------------------

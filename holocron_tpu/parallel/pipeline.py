@@ -39,7 +39,7 @@ the tick stage ``n-1`` overwrites it with the real microbatch destined for its
 slot, so no masking is needed.
 """
 
-from typing import Callable, Optional
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import create_mesh
 
-__all__ = ["pipeline_blocks"]
+__all__ = ["pipeline_blocks", "pipeline_module", "stack_stage_variables"]
 
 
 def pipeline_blocks(
@@ -156,3 +156,99 @@ def pipeline_blocks(
     if gather_output:
         y = jax.device_put(y, NamedSharding(mesh, P()))
     return y
+
+
+def _find_stage_parent(tree: Mapping, prefix: str) -> Tuple[str, ...]:
+    """Unique path of the mapping that owns the ``{prefix}0, {prefix}1, …`` run."""
+    hits = []
+
+    def walk(node, path):
+        if isinstance(node, Mapping):
+            if f"{prefix}0" in node:
+                hits.append(path)
+            for k, v in node.items():
+                walk(v, (*path, k))
+
+    walk(tree, ())
+    if not hits:
+        raise ValueError(f"no child named '{prefix}0' anywhere in the variable tree")
+    if len(hits) > 1:
+        raise ValueError(f"'{prefix}' is ambiguous — found under {hits}")
+    return hits[0]
+
+
+def stack_stage_variables(variables: Mapping, prefix: str) -> Dict[str, Any]:
+    """Stacks the variables of a run of identically-shaped sibling blocks.
+
+    Finds the unique parent module owning children ``{prefix}0, {prefix}1, …``
+    (e.g. darknet53's ``features/layer_3_block_{0..7}`` — the 8-block 512-channel
+    stage), checks every block's subtree matches the first one's structure/shapes,
+    and stacks each leaf along a new leading ``S`` dim — exactly the
+    ``stacked_params`` form :func:`pipeline_blocks` consumes. All variable
+    collections that contain the parent path are stacked (``params`` AND
+    ``batch_stats``), so the result feeds ``module.apply`` directly.
+
+    This is the bridge from a zoo ``Model`` to the pipeline: the reference has no
+    PP at all (SURVEY.md §2i); here any model whose depth lives in a stack of
+    shape-preserving blocks gets GPipe without rewriting the model.
+    """
+    parent_path = _find_stage_parent(variables.get("params", variables), prefix)
+    stacked: Dict[str, Any] = {}
+    for coll, tree in variables.items():
+        node = tree
+        for k in parent_path:
+            if not isinstance(node, Mapping) or k not in node:
+                node = None
+                break
+            node = node[k]
+        if node is None or f"{prefix}0" not in node:
+            continue
+        blocks = []
+        while f"{prefix}{len(blocks)}" in node:
+            blocks.append(node[f"{prefix}{len(blocks)}"])
+        first = jax.tree.structure(blocks[0])
+        for i, b in enumerate(blocks[1:], 1):
+            if jax.tree.structure(b) != first:
+                raise ValueError(f"block {prefix}{i} does not match {prefix}0's structure")
+        stacked[coll] = jax.tree.map(lambda *leaves: jnp.stack(leaves), *blocks)
+    if "params" not in stacked:
+        raise ValueError(f"no '{prefix}*' params found")
+    s = jax.tree.leaves(stacked["params"])[0].shape[0]
+    if s < 2:
+        raise ValueError(f"'{prefix}' names a single block — nothing to pipeline")
+    return stacked
+
+
+def pipeline_module(
+    block,
+    stacked_variables: Mapping,
+    x: jax.Array,
+    mesh: Optional[Mesh] = None,
+    axis: str = "pipe",
+    num_microbatches: Optional[int] = None,
+    gather_output: bool = False,
+):
+    """GPipe over a stack of one linen block's variables (from
+    :func:`stack_stage_variables` / :meth:`Model.stage_variables`).
+
+    ``block`` is a module instance matching ONE block of the stack (e.g.
+    ``ResBlock(512, 256)`` for darknet53's stage 3) and is applied in eval form
+    (``train=False`` — BN consumes the stacked running stats; GPipe's microbatched
+    schedule cannot produce full-batch BN statistics, so train-mode stat mutation
+    is out of scope by design). Gradients w.r.t. the stacked variables flow
+    through the schedule (tested).
+
+    Example — pipeline darknet53's 8-block 512-channel stage over 4 devices::
+
+        model = darknet53(); model.init((8, 64, 64, 3))
+        stacked = model.stage_variables("layer_3_block_")
+        y = pipeline_module(ResBlock(512, 256), stacked, stage_in,
+                            mesh=create_mesh(axes=("pipe",)), num_microbatches=8)
+    """
+
+    def block_fn(vars_i, h):
+        return block.apply(vars_i, h, train=False)
+
+    return pipeline_blocks(
+        block_fn, dict(stacked_variables), x, mesh, axis, num_microbatches, gather_output
+    )
