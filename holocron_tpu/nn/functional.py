@@ -80,6 +80,23 @@ def _masked_reduce(loss: Array, valid: Array, reduction: str, target_shape) -> A
     return loss.reshape(target_shape)
 
 
+def _take_class(values: Array, safe_target: Array) -> Array:
+    """``values[..., target]`` for channel-last ``values (..., K)`` and int
+    ``target (...)`` — as a one-hot CONTRACTION, not a gather.
+
+    ``jnp.take_along_axis`` lowers to an HLO gather whose backward is a scatter;
+    on TPU both run off the vector unit and serialize (the unet@256 train trace
+    showed ONE such gather over 32x256x256 pixels costing 31 ms/step — 29% of the
+    whole step, in scalar memory ``S(1)``; docs/PERF.md round-4 matrix). The
+    iota==target compare + masked reduce below stays an elementwise fusion on the
+    8x128 VPU lanes, and its backward is a broadcast multiply. Exact same values:
+    exactly one lane matches, the rest contribute 0.
+    """
+    classes = jax.lax.broadcasted_iota(jnp.int32, values.shape, values.ndim - 1)
+    match = classes == safe_target[..., None].astype(jnp.int32)
+    return jnp.sum(jnp.where(match, values, jnp.zeros((), values.dtype)), axis=-1)
+
+
 def cross_entropy(
     x: Array,
     target: Array,
@@ -100,7 +117,7 @@ def cross_entropy(
     num_classes = x.shape[-1]
     logpt = jax.nn.log_softmax(x, axis=-1)
     safe_target = jnp.clip(target, 0, num_classes - 1)
-    logpt_t = jnp.take_along_axis(logpt, safe_target[..., None], axis=-1)[..., 0]
+    logpt_t = _take_class(logpt, safe_target)
     valid = target != ignore_index
     w_t = jnp.ones_like(logpt_t)
     if weight is not None:
@@ -137,7 +154,7 @@ def focal_loss(
     num_classes = x.shape[-1]
     logpt = jax.nn.log_softmax(x, axis=-1)
     safe_target = jnp.clip(target, 0, num_classes - 1)
-    logpt_t = jnp.take_along_axis(logpt, safe_target[..., None], axis=-1)[..., 0]
+    logpt_t = _take_class(logpt, safe_target)
     pt = jnp.exp(logpt_t)
     if weight is not None:
         logpt_t = weight.astype(x.dtype)[safe_target] * logpt_t
@@ -201,7 +218,7 @@ def complement_cross_entropy(
     num_classes = x.shape[-1]
     pt = jax.nn.softmax(x, axis=-1)
     safe_target = jnp.clip(target, 0, num_classes - 1)
-    pt_t = jnp.take_along_axis(pt, safe_target[..., None], axis=-1)
+    pt_t = _take_class(pt, safe_target)[..., None]
     pt = pt / (1.0 - pt_t)
     loss = (-1.0 / (num_classes - 1)) * pt * jnp.log(pt)
     # zero the ground-truth class contribution (vectorized form of the reference loop)
@@ -313,7 +330,7 @@ def poly_loss(
         if not jnp.issubdtype(target.dtype, jnp.integer):
             raise TypeError("target dtype is expected to be an integer type")
         safe_target = jnp.clip(target, 0, num_classes - 1)
-        logpt_t = jnp.take_along_axis(logpt, safe_target[..., None], axis=-1)[..., 0]
+        logpt_t = _take_class(logpt, safe_target)
     else:
         if target.ndim != x.ndim or target.shape[0] != x.shape[0] or target.shape[-1] != x.shape[-1]:
             raise ValueError("invalid target shape")

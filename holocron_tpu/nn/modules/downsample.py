@@ -107,25 +107,43 @@ class SPP(nn.Module):
     concat of identity and stride-1 max pools with growing kernels.
 
     Reference: holocron/nn/modules/downsample.py:154-167. NHWC.
+
+    When ``cascade`` is on (default) and the kernel list allows it (all odd, strictly
+    increasing, even gaps), each pyramid level is pooled FROM THE PREVIOUS LEVEL with
+    the small delta window instead of from ``x`` with the full window — exact by the
+    stride-1 max composition identity ``mp_b(mp_a(x)) == mp_{a+b-1}(x)`` under -inf
+    same-padding. On TPU this matters for the BACKWARD pass: XLA lowers stride-1
+    max-pool gradients to ``select-and-scatter`` whose cost scales with the window
+    area, and the yolov4@416 train-step trace showed SPP(5,9,13)'s 81- and 169-point
+    windows costing 28 ms/step (19% of the step); cascading runs three 25-point
+    windows instead (measured table in docs/PERF.md). Subgradient routing at exact
+    ties may differ from the direct form; values are bit-identical.
     """
 
     kernel_sizes: Sequence[int]
+    cascade: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        feats = [x]
-        for k in self.kernel_sizes:
+        init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+
+        def pool(src: jax.Array, k: int) -> jax.Array:
             pad = k // 2
-            feats.append(
-                jax.lax.reduce_window(
-                    x,
-                    -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-                    jax.lax.max,
-                    window_dimensions=(1, k, k, 1),
-                    window_strides=(1, 1, 1, 1),
-                    padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                )
+            return jax.lax.reduce_window(
+                src,
+                init,
+                jax.lax.max,
+                window_dimensions=(1, k, k, 1),
+                window_strides=(1, 1, 1, 1),
+                padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
             )
+
+        ks = list(self.kernel_sizes)
+        gaps = [b - a for a, b in zip([1] + ks[:-1], ks)]  # identity level has k=1
+        cascadable = self.cascade and all(k % 2 == 1 for k in ks) and all(g > 0 and g % 2 == 0 for g in gaps)
+        feats = [x]
+        for k, gap in zip(ks, gaps):
+            feats.append(pool(feats[-1], gap + 1) if cascadable else pool(x, k))
         return jnp.concatenate(feats, axis=-1)
 
 

@@ -109,6 +109,25 @@ def test_spp(x):
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
 
 
+def test_spp_cascade_matches_direct():
+    """The cascade decomposition (mp_b(mp_a(x)) == mp_{a+b-1}(x), the yolov4 SPP
+    backward win — see downsample.py docstring) is exact in forward and matches the
+    direct form's gradient up to accumulation order; non-increasing kernel lists
+    fall back to direct pooling."""
+    x = jax.random.normal(jax.random.key(0), (2, 13, 13, 8))
+    direct = nn.SPP(kernel_sizes=(5, 9, 13), cascade=False)
+    cascade = nn.SPP(kernel_sizes=(5, 9, 13), cascade=True)
+    assert jnp.array_equal(direct.apply({}, x), cascade.apply({}, x))
+    gd = jax.grad(lambda a: (direct.apply({}, a) ** 2).sum())(x)
+    gc = jax.grad(lambda a: (cascade.apply({}, a) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gc), rtol=1e-5, atol=1e-5)
+    # fallback: non-increasing list can't cascade — still must equal direct
+    assert jnp.array_equal(
+        nn.SPP(kernel_sizes=(9, 5), cascade=True).apply({}, x),
+        nn.SPP(kernel_sizes=(9, 5), cascade=False).apply({}, x),
+    )
+
+
 def test_zpool_module(x):
     out, _ = _init_and_apply(nn.ZPool(), x)
     assert out.shape == (2, 8, 8, 2)
