@@ -198,8 +198,15 @@ class YoloLayer:
             obj_loss = jnp.sum(jnp.where(obj_mask, (po_sig - target_o) ** 2, 0.0))
             noobj_loss = jnp.sum(noobj_mask * po_sig**2)
 
-            # CIoU box loss: min over GTs at responsible positions (yolov4.py:390-399)
-            ciou = ciou_loss(pboxes.reshape(-1, 4), gtb)  # (HWA, M)
+            # CIoU box loss: min over GTs at responsible positions (yolov4.py:390-399).
+            # Padded GT rows are all-zero boxes, and CIoU's aspect-ratio term computes
+            # arctan(0/0) = NaN on them; masking the RESULT is not enough under
+            # autodiff (the vjp multiplies a 0 cotangent by a NaN partial -> NaN
+            # gradient for every parameter, every step). Substitute a unit box for
+            # masked rows BEFORE the box math — the loss values are unchanged because
+            # masked columns are overwritten with +inf and never win the min.
+            safe_gtb = jnp.where(gtm[:, None], gtb, jnp.asarray([0.0, 0.0, 1.0, 1.0], gtb.dtype))
+            ciou = ciou_loss(pboxes.reshape(-1, 4), safe_gtb)  # (HWA, M)
             ciou = jnp.where(gtm[None, :], ciou, jnp.inf)
             min_ciou = jnp.min(ciou, axis=1).reshape(h, w, num_anchors)
             has_gt = jnp.any(gtm)

@@ -89,8 +89,15 @@ def diou_loss(boxes1: Array, boxes2: Array) -> Array:
 
 
 def aspect_ratio(boxes: Array) -> Array:
-    """``atan(w / h)`` per box. Reference: holocron/ops/boxes.py:133-144."""
-    return jnp.arctan((boxes[:, 2] - boxes[:, 0]) / (boxes[:, 3] - boxes[:, 1]))
+    """``atan(w / h)`` per box. Reference: holocron/ops/boxes.py:133-144.
+
+    The denominator is clamped to a tiny epsilon: a zero-height box (the reference
+    propagates ``atan(0/0) = NaN``) otherwise poisons gradients of any loss built on
+    this, even where the loss value is masked out — under autodiff, ``where`` masks
+    values but not NaN partials. Identical for every box with positive height.
+    """
+    h = boxes[:, 3] - boxes[:, 1]
+    return jnp.arctan((boxes[:, 2] - boxes[:, 0]) / jnp.maximum(h, 1e-12))
 
 
 def aspect_ratio_consistency(boxes1: Array, boxes2: Array) -> Array:

@@ -66,8 +66,14 @@ def test_detection_model(arch, input_shape):
         model(x, [{"boxes": np.asarray([[0.0, 0.0, 2.0, 1.0]], np.float32), "labels": np.asarray([0])}])
 
 
-def test_detection_loss_grads():
-    model = detection.yolov2(pretrained_backbone=False, num_classes=5)
+@pytest.mark.parametrize("arch", ["yolov2", "yolov4"])
+def test_detection_loss_grads(arch):
+    """Gradients must be finite WITH PADDED (all-zero) target slots: yolov4's CIoU
+    used to compute arctan(0/0) on them, and `where`-masking the value still leaks
+    the NaN partial through the vjp (0 * NaN) — every gradient leaf went NaN on
+    every step with any padding (i.e. in all real training). Regression for the
+    round-4 safe-box substitution (yolov4.py per_image)."""
+    model = detection.__dict__[arch](pretrained_backbone=False, num_classes=5)
     x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
     model._ensure_init(x)
     target = jax.tree.map(jnp.asarray, dict(pad_targets(_make_targets([2, 1], 5), 10)))
@@ -78,8 +84,9 @@ def test_detection_loss_grads():
         return sum(losses.values())
 
     grads = jax.grad(loss_fn)(model.params)
-    gmax = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(grads))
-    assert np.isfinite(gmax) and gmax > 0
+    leaves = jax.tree.leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    assert max(float(jnp.max(jnp.abs(g))) for g in leaves) > 0
 
 
 def test_yolo_closed_form_losses():
