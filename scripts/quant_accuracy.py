@@ -48,7 +48,80 @@ def make_task(key, num_classes: int, size: int):
     return batch
 
 
-def train(model, batch_fn, steps: int, batch: int, lr: float = 1e-3):
+def make_seg_task(key, num_classes: int, size: int):
+    """Dense analog of :func:`make_task` (VERDICT r3 #6): each image carries 1-3
+    axis-aligned ellipse blobs whose FILL is a class-specific color+texture signature;
+    the mask labels blob pixels with their class (0 = background). Learnable to
+    near-perfect pixel accuracy in a few hundred steps."""
+    import jax
+    import jax.numpy as jnp
+
+    sig = jax.random.normal(key, (num_classes, 3)) * 1.2
+    yy, xx = jnp.mgrid[0:size, 0:size].astype(jnp.float32) / size
+
+    def one_image(key):
+        ks = jax.random.split(key, 8)
+        x = 0.25 * jax.random.normal(ks[0], (size, size, 3))
+        mask = jnp.zeros((size, size), jnp.int32)
+        for i in range(3):  # up to 3 blobs; later blobs overwrite
+            kc, kp, kr, ka = jax.random.split(ks[i + 1], 4)
+            cls = jax.random.randint(kc, (), 1, num_classes)
+            cy, cx = jax.random.uniform(kp, (2,), minval=0.2, maxval=0.8)
+            ry, rx = jax.random.uniform(kr, (2,), minval=0.08, maxval=0.25)
+            inside = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+            active = jax.random.uniform(ka, ()) < (1.0 if i == 0 else 0.6)
+            inside = inside & active
+            mask = jnp.where(inside, cls, mask)
+            x = jnp.where(inside[..., None], sig[cls] + 0.25 * jax.random.normal(ks[i + 4], (size, size, 3)), x)
+        return x, mask
+
+    def batch(key, n):
+        x, y = jax.vmap(one_image)(jax.random.split(key, n))
+        return x, y
+
+    return batch
+
+
+def make_det_task(key, num_classes: int, size: int, max_boxes: int = 8):
+    """Detection analog: 1-3 class-colored axis-aligned rectangles per image; targets
+    are padded {boxes (relative xyxy), labels, mask} dicts, the DetectionModel train
+    contract. The detector won't reach mAP glory in 400 steps — the point is trained
+    (non-random) weights under the int8-vs-bf16 agreement gate."""
+    import jax
+    import jax.numpy as jnp
+
+    sig = jax.random.normal(key, (num_classes, 3)) * 1.2
+    yy, xx = jnp.mgrid[0:size, 0:size].astype(jnp.float32) / size
+    K = 3
+
+    def one_image(key):
+        ks = jax.random.split(key, 2 * K + 1)
+        x = 0.25 * jax.random.normal(ks[0], (size, size, 3))
+        boxes = jnp.zeros((max_boxes, 4), jnp.float32)
+        labels = jnp.zeros((max_boxes,), jnp.int32)
+        mask = jnp.zeros((max_boxes,), bool)
+        for i in range(K):
+            kc, kp, kr, ka = jax.random.split(ks[2 * i + 1], 4)
+            cls = jax.random.randint(kc, (), 0, num_classes)
+            cy, cx = jax.random.uniform(kp, (2,), minval=0.25, maxval=0.75)
+            h, w = jax.random.uniform(kr, (2,), minval=0.12, maxval=0.3)
+            x0, y0, x1, y1 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+            inside = (yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)
+            active = jax.random.uniform(ka, ()) < (1.0 if i == 0 else 0.5)
+            inside = inside & active
+            x = jnp.where(inside[..., None], sig[cls] + 0.25 * jax.random.normal(ks[2 * i + 2], (size, size, 3)), x)
+            boxes = boxes.at[i].set(jnp.where(active, jnp.stack([x0, y0, x1, y1]), 0.0))
+            labels = labels.at[i].set(cls)
+            mask = mask.at[i].set(active)
+        return x, {"boxes": boxes, "labels": labels, "mask": mask}
+
+    def batch(key, n):
+        return jax.vmap(one_image)(jax.random.split(key, n))
+
+    return batch
+
+
+def train(model, batch_fn, steps: int, batch: int, lr: float = 1e-3, task: str = "classification"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -58,12 +131,23 @@ def train(model, batch_fn, steps: int, batch: int, lr: float = 1e-3):
     module = model.module
     variables = model.variables
     params, state = variables["params"], {k: v for k, v in variables.items() if k != "params"}
-    tx = optax.adam(lr)
+    if task == "detection":
+        # detector losses explode from random init at classification LRs: clip + cooler LR
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr / 4))
+    else:
+        tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, state, opt_state, x, y, rng):
         def loss_fn(p):
+            if task == "detection":
+                # detection modules return a loss dict when a target is passed
+                # (DetectionTrainer contract, trainer/detection.py)
+                loss_dict, updates = module.apply(
+                    {"params": p, **state}, x, y, train=True, mutable=list(state), rngs={"dropout": rng}
+                )
+                return sum(jnp.asarray(v, jnp.float32) for v in loss_dict.values()), updates
             out, updates = module.apply(
                 {"params": p, **state}, x, train=True, mutable=list(state), rngs={"dropout": rng}
             )
@@ -97,6 +181,77 @@ def evaluate(fwd, batch_fn, key, batches: int, batch: int):
     return correct / total
 
 
+def evaluate_dense(fwd, batch_fn, key, batches: int, batch: int):
+    """Pixel accuracy of (B,H,W,C) logits against (B,H,W) ground-truth masks."""
+    import jax
+    import jax.numpy as jnp
+
+    correct = total = 0
+    for i in range(batches):
+        key, sub = jax.random.split(key)
+        x, y = batch_fn(sub, batch)
+        pred = jnp.argmax(fwd(x), -1)
+        correct += int(jax.device_get(jnp.sum(pred == y)))
+        total += int(y.size)
+    return correct / total
+
+
+def infer_task(arch: str) -> str:
+    from holocron_tpu.models import detection, segmentation
+
+    if arch in detection.__dict__:
+        return "detection"
+    if arch in segmentation.__dict__:
+        return "segmentation"
+    return "classification"
+
+
+def _measure_detection(model, bf16_fwd, int8_fwd, batch_fn, key, batches: int, batch: int):
+    """Detection row: per-form F1 against the synthetic ground truth (accuracy proxy)
+    plus bf16-vs-int8 agreement via the box-matched gate (quant.py)."""
+    import jax
+    import numpy as np
+
+    from holocron_tpu.models.detection.yolo import detections_to_list, post_process
+    from holocron_tpu.quant import measure_agreement_detection
+
+    nms_thresh = getattr(model.module, "rpn_nms_thresh", 0.7)
+    score_thresh = getattr(model.module, "box_score_thresh", 0.05)
+
+    def as_det_fwd(raw_fwd):
+        return lambda x: detections_to_list(post_process(*raw_fwd(x), nms_thresh, score_thresh))
+
+    det_bf16, det_int8 = as_det_fwd(bf16_fwd), as_det_fwd(int8_fwd)
+    eval_x, gts = [], []
+    for i in range(batches):
+        key, sub = jax.random.split(key)
+        x, tgt = batch_fn(sub, batch)
+        eval_x.append(x)
+        tgt = jax.device_get(tgt)
+        gts.append([
+            {
+                "boxes": np.asarray(tgt["boxes"][j])[np.asarray(tgt["mask"][j])],
+                "scores": np.ones(int(np.asarray(tgt["mask"][j]).sum())),
+                "labels": np.asarray(tgt["labels"][j])[np.asarray(tgt["mask"][j])],
+            }
+            for j in range(batch)
+        ])
+
+    def vs_gt(det_fwd):
+        it = iter(gts)
+        return measure_agreement_detection(lambda x: next(it), det_fwd, eval_x)
+
+    gate = measure_agreement_detection(det_bf16, det_int8, eval_x)
+    return {
+        "acc_bf16": round(vs_gt(det_bf16)["det_f1"], 4),
+        "acc_int8": round(vs_gt(det_int8)["det_f1"], 4),
+        "det_f1": round(gate["det_f1"], 4),
+        "det_precision": round(gate["det_precision"], 4),
+        "det_recall": round(gate["det_recall"], 4),
+        "mean_matched_iou": round(gate["mean_matched_iou"], 4),
+    }
+
+
 def main(args):
     import jax
     import jax.numpy as jnp
@@ -110,9 +265,17 @@ def main(args):
     checkpoints = dict(kv.split("=", 1) for kv in args.checkpoint)
     rows = []
     for arch in args.archs:
+        task = infer_task(arch)
+        size = args.size if task == "classification" else max(args.size, {"segmentation": 64, "detection": 128}[task])
+        batch = args.batch if task == "classification" else min(args.batch, 16)
         model = M.__dict__[arch]()
-        model.init((args.batch, args.size, args.size, 3))
-        batch_fn = make_task(jax.random.key(7), 10, args.size)
+        model.init((batch, size, size, 3))
+        if task == "segmentation":
+            batch_fn = make_seg_task(jax.random.key(7), 10, size)
+        elif task == "detection":
+            batch_fn = make_det_task(jax.random.key(7), 10, size)
+        else:
+            batch_fn = make_task(jax.random.key(7), 10, size)
         if arch in checkpoints:
             from flax import serialization
 
@@ -120,7 +283,7 @@ def main(args):
             model.load_variables(jax.tree.map(jnp.asarray, state.get("model", state)))
             final_loss = float("nan")
         else:
-            final_loss = train(model, batch_fn, args.steps, args.batch)
+            final_loss = train(model, batch_fn, args.steps, batch, task=task)
         try:
             model.reparametrize()
         except NotImplementedError:
@@ -135,26 +298,43 @@ def main(args):
         _bf16_j = jax.jit(lambda v, a: module.apply(v, a, train=False))
         bf16_fwd = lambda a: _bf16_j(bf16_vars, a)  # noqa: E731
 
-        calib = [batch_fn(jax.random.key(1000 + i), args.batch)[0] for i in range(2)]
+        calib = [batch_fn(jax.random.key(1000 + i), batch)[0] for i in range(2)]
         qm = quantize_model(model, calibration_batches=calib, arch=arch)
         qm.variables = bf16_vars
         qfwd, qparams = jax.jit(qm.apply_fn()), qm.qparams
         int8_fwd = lambda a: qfwd(qm.variables, qparams, a)  # noqa: E731
 
         eval_key = jax.random.key(2000)
-        acc_bf16 = evaluate(bf16_fwd, batch_fn, eval_key, args.eval_batches, args.batch)
-        acc_int8 = evaluate(int8_fwd, batch_fn, eval_key, args.eval_batches, args.batch)
-        gate = measure_agreement(
-            bf16_fwd, int8_fwd,
-            [batch_fn(jax.random.key(3000 + i), args.batch)[0] for i in range(args.eval_batches)],
-        )
+        eval_x = [batch_fn(jax.random.key(3000 + i), batch)[0] for i in range(args.eval_batches)]
+        if task == "detection":
+            row = _measure_detection(model, bf16_fwd, int8_fwd, batch_fn, eval_key, args.eval_batches, batch)
+        elif task == "segmentation":
+            from holocron_tpu.quant import measure_agreement_segmentation
+
+            acc_bf16 = evaluate_dense(bf16_fwd, batch_fn, eval_key, args.eval_batches, batch)
+            acc_int8 = evaluate_dense(int8_fwd, batch_fn, eval_key, args.eval_batches, batch)
+            gate = measure_agreement_segmentation(bf16_fwd, int8_fwd, eval_x)
+            row = {
+                "acc_bf16": round(acc_bf16, 4),
+                "acc_int8": round(acc_int8, 4),
+                "pixel_agreement": round(gate["pixel_agreement"], 4),
+                "mean_mask_iou": round(gate["mean_mask_iou"], 4),
+            }
+        else:
+            acc_bf16 = evaluate(bf16_fwd, batch_fn, eval_key, args.eval_batches, batch)
+            acc_int8 = evaluate(int8_fwd, batch_fn, eval_key, args.eval_batches, batch)
+            gate = measure_agreement(bf16_fwd, int8_fwd, eval_x)
+            row = {
+                "acc_bf16": round(acc_bf16, 4),
+                "acc_int8": round(acc_int8, 4),
+                "top1_agreement": round(gate["top1_agreement"], 4),
+                "max_prob_drift": round(gate["max_prob_drift"], 5),
+            }
         row = {
             "arch": arch,
+            "task": task,
             "weights": "checkpoint" if arch in checkpoints else f"trained {args.steps} steps (loss {final_loss:.3f})",
-            "acc_bf16": round(acc_bf16, 4),
-            "acc_int8": round(acc_int8, 4),
-            "top1_agreement": round(gate["top1_agreement"], 4),
-            "max_prob_drift": round(gate["max_prob_drift"], 5),
+            **row,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -162,13 +342,12 @@ def main(args):
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
 
-    print("\n| arch | weights | bf16 top-1 | int8 top-1 | agreement | max prob drift |")
+    print("\n| arch | task | weights | bf16 acc | int8 acc | agreement |")
     print("|---|---|---|---|---|---|")
     for r in rows:
-        print(
-            f"| {r['arch']} | {r['weights']} | {r['acc_bf16']:.3f} | {r['acc_int8']:.3f} "
-            f"| {r['top1_agreement']:.3f} | {r['max_prob_drift']:.4f} |"
-        )
+        agreement = r.get("top1_agreement", r.get("pixel_agreement", r.get("det_f1", float("nan"))))
+        acc_b, acc_q = r.get("acc_bf16", float("nan")), r.get("acc_int8", float("nan"))
+        print(f"| {r['arch']} | {r['task']} | {r['weights']} | {acc_b:.3f} | {acc_q:.3f} | {agreement:.3f} |")
     return 0
 
 

@@ -248,3 +248,67 @@ def test_quantized_model_cache_invalidation():
     qm.qparams = {k: {**v, "kernel_q": jnp.zeros_like(v["kernel_q"])} for k, v in qm.qparams.items()}
     changed = np.asarray(qm(x))
     assert np.abs(changed - ref).max() > 1e-4
+
+
+def test_measure_agreement_segmentation_closed_form():
+    """Hand-computed pixel agreement + macro mask-IoU on a 2x2 logit grid
+    (VERDICT r3 #6: the int8 gate for dense outputs)."""
+    import numpy as np
+
+    from holocron_tpu.quant import measure_agreement_segmentation
+
+    # ref argmax mask: [[0, 1], [1, 1]]; quant argmax mask: [[0, 1], [0, 1]]
+    def to_logits(mask, num_classes=3):
+        return jax.nn.one_hot(jnp.asarray(mask), num_classes) * 10.0
+
+    ref = to_logits([[0, 1], [1, 1]])[None]
+    quant = to_logits([[0, 1], [0, 1]])[None]
+    out = measure_agreement_segmentation(lambda x: ref, lambda x: quant, [jnp.zeros((1, 2, 2, 3))])
+    # 3 of 4 pixels agree
+    assert np.isclose(out["pixel_agreement"], 0.75)
+    # class 0: inter 1, union 2 -> 0.5; class 1: inter 2, union 3 -> 2/3; class 2 absent
+    assert np.isclose(out["mean_mask_iou"], (0.5 + 2 / 3) / 2)
+
+    perfect = measure_agreement_segmentation(lambda x: ref, lambda x: ref, [jnp.zeros((1, 2, 2, 3))])
+    assert perfect["pixel_agreement"] == 1.0 and np.isclose(perfect["mean_mask_iou"], 1.0)
+
+
+def test_measure_agreement_detection_closed_form():
+    """Box-matched precision/recall/F1 against hand-placed detections (VERDICT r3 #6)."""
+    import numpy as np
+
+    from holocron_tpu.quant import measure_agreement_detection
+
+    ref_dets = [{
+        "boxes": np.array([[0.1, 0.1, 0.5, 0.5], [0.6, 0.6, 0.9, 0.9]]),
+        "scores": np.array([0.9, 0.8]),
+        "labels": np.array([1, 2]),
+    }]
+
+    # identical -> perfect
+    out = measure_agreement_detection(lambda x: ref_dets, lambda x: ref_dets, [None])
+    assert out["det_f1"] == 1.0 and np.isclose(out["mean_matched_iou"], 1.0)
+
+    # quant misses the second box entirely -> recall 0.5, precision 1.0
+    q_dets = [{
+        "boxes": np.array([[0.1, 0.1, 0.5, 0.5]]),
+        "scores": np.array([0.9]),
+        "labels": np.array([1]),
+    }]
+    out = measure_agreement_detection(lambda x: ref_dets, lambda x: q_dets, [None])
+    assert np.isclose(out["det_recall"], 0.5) and np.isclose(out["det_precision"], 1.0)
+    assert np.isclose(out["det_f1"], 2 / 3)
+
+    # same box, wrong label -> no match even at IoU 1.0
+    q_wrong = [{
+        "boxes": np.array([[0.1, 0.1, 0.5, 0.5]]),
+        "scores": np.array([0.9]),
+        "labels": np.array([3]),
+    }]
+    out = measure_agreement_detection(lambda x: ref_dets, lambda x: q_wrong, [None])
+    assert out["det_f1"] == 0.0
+
+    # both empty everywhere -> vacuous perfect agreement, not zero
+    empty = [{"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "labels": np.zeros(0, int)}]
+    out = measure_agreement_detection(lambda x: empty, lambda x: empty, [None])
+    assert out["det_f1"] == 1.0
