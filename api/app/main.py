@@ -16,12 +16,16 @@ from .schemas import Status
 
 
 class Handler(BaseHTTPRequestHandler):
-    def _send(self, code: int, payload: dict, t0: float) -> None:
+    def _send(self, code: int, payload: dict, t0: float, timings: dict = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.send_header("X-Process-Time", str(time.time() - t0))
+        # per-stage attribution (decode / queue-wait / device call / batch size):
+        # the reference reports only the total; these headers localize the host cost
+        for key, value in (timings or {}).items():
+            self.send_header(f"X-{key.replace('_', '-').title()}", f"{value:.3f}")
         self.end_headers()
         self.wfile.write(body)
 
@@ -53,12 +57,13 @@ class Handler(BaseHTTPRequestHandler):
         if not data:
             self._send(422, {"detail": "no image payload"}, t0)
             return
+        timings: dict = {}
         try:
-            candidate = classification.classify(data)
+            candidate = classification.classify(data, timings)
         except Exception as e:  # decoding / inference failure
             self._send(400, {"detail": f"invalid image: {e}"}, t0)
             return
-        self._send(200, candidate.model_dump(), t0)
+        self._send(200, candidate.model_dump(), t0, timings)
 
     def log_message(self, fmt, *log_args):  # quiet
         pass
@@ -85,8 +90,15 @@ def create_fastapi_app():
 
     @app.post("/classification", response_model=ClsCandidate)
     async def classify(file: UploadFile = File(...)):
+        from fastapi import Response
+
         try:
-            return classification.classify(await file.read())
+            timings: dict = {}
+            candidate = classification.classify(await file.read(), timings)
+            resp = Response(content=candidate.model_dump_json(), media_type="application/json")
+            for key, value in timings.items():
+                resp.headers[f"X-{key.replace('_', '-').title()}"] = f"{value:.3f}"
+            return resp
         except Exception as e:
             raise HTTPException(status_code=400, detail=f"invalid image: {e}") from e
 

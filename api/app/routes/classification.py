@@ -10,7 +10,12 @@ from ..vision import classify_image
 __all__ = ["classify"]
 
 
-def classify(img_data: bytes) -> ClsCandidate:
-    """Runs one encoded image through the batched model and returns the top candidate."""
-    label, confidence = classify_image(img_data)
+def classify(img_data: bytes, timings: dict = None) -> ClsCandidate:
+    """Runs one encoded image through the batched model and returns the top candidate.
+
+    When the caller passes a ``timings`` dict, the per-stage latency attribution
+    (decode/queue/infer, batch size) is written into it for response headers."""
+    label, confidence, t = classify_image(img_data)
+    if timings is not None:
+        timings.update(t)
     return ClsCandidate(value=label, confidence=confidence)

@@ -6,6 +6,7 @@ when supported), with the same preprocessing contract (default_cfg mean/std, 224
 """
 
 import io
+import time
 from typing import List, Tuple
 
 import jax
@@ -37,12 +38,19 @@ def load_model(arch: str = config.ARCH, num_classes: int = config.NUM_CLASSES):
         # archs (docs/bench) — serving falls back to bf16 there rather than shipping
         # a slower AND less accurate model. HOLOCRON_QUANTIZE=force overrides.
         verdict = recommended_quantization(arch)
-        if verdict is not None and not verdict["recommended"] and config.QUANTIZE != "force":
+        if config.QUANTIZE != "force" and (verdict is None or not verdict["recommended"]):
             import logging
 
+            # UNMEASURED archs fall back too (VERDICT r3 #6): quantizing blind risks
+            # shipping a slower and less accurate model; only `force` may gamble.
+            reason = (
+                f"int8 measures {verdict['int8_speedup']:.2f}x vs bf16 on {arch} (docs/bench)"
+                if verdict is not None
+                else f"{arch} has no measured int8 policy entry (quant_policy.json)"
+            )
             logging.getLogger(__name__).warning(
-                f"HOLOCRON_QUANTIZE requested but int8 measures {verdict['int8_speedup']:.2f}x "
-                f"vs bf16 on {arch} (docs/bench) — serving bf16; set HOLOCRON_QUANTIZE=force to override"
+                f"HOLOCRON_QUANTIZE requested but {reason} — serving bf16; "
+                "set HOLOCRON_QUANTIZE=force to override"
             )
             return model
         # dynamic per-request activation scales: no calibration set exists at serving
@@ -81,9 +89,14 @@ def get_batcher():
         use_const = os.environ.get("HOLOCRON_CONST_WEIGHTS", "1") == "1"
         fwd = model.deploy_forward() if use_const and hasattr(model, "deploy_forward") else model
 
+        # softmax INSIDE the single jitted program: running jax.nn.softmax eagerly
+        # on the logits was a second dispatch (and a second tunnel round trip on
+        # remote-attached chips) per batch — measured in the round-4 serving
+        # attribution (docs/PERF.md). One jit call, one device_get, per batch.
+        softmax_fwd = jax.jit(lambda x: jax.nn.softmax(fwd(x), axis=-1))
+
         def infer(batch: np.ndarray) -> np.ndarray:
-            logits = fwd(jnp.asarray(batch))
-            return np.asarray(jax.nn.softmax(logits, axis=-1))
+            return np.asarray(softmax_fwd(jnp.asarray(batch)))
 
         BATCHER = MicroBatcher(infer, max_batch=config.MAX_BATCH, max_wait_ms=config.BATCH_WAIT_MS)
     return BATCHER
@@ -130,9 +143,22 @@ def preprocess_bytes(img_data: bytes):
     return preprocess_image(decode_image(img_data))
 
 
-def classify_image(img_data: bytes) -> Tuple[str, float]:
+def classify_image(img_data: bytes) -> Tuple[str, float, dict]:
+    """Returns ``(label, confidence, timings)``; ``timings`` carries the per-stage
+    latency attribution (decode/queue/infer ms + coalesced batch size) the servers
+    surface as ``X-*-Time`` response headers — the reference only reports a total
+    X-Process-Time (api/app/main.py:42-48)."""
+    t0 = time.perf_counter()
     x = np.asarray(preprocess_bytes(img_data))
-    probs = get_batcher().submit(x)
+    decode_ms = (time.perf_counter() - t0) * 1e3
+    result = get_batcher().submit(x)
+    probs = result["probs"]
     idx = int(probs.argmax())
     label = CLASSES[idx] if idx < len(CLASSES) else str(idx)
-    return label, float(probs[idx])
+    timings = {
+        "decode_ms": decode_ms,
+        "queue_ms": result["queue_ms"],
+        "infer_ms": result["infer_ms"],
+        "batch_size": result["batch_size"],
+    }
+    return label, float(probs[idx]), timings
