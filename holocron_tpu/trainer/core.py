@@ -546,17 +546,31 @@ class Trainer:
                 return nan_cnt + 1
             return 0
 
+        from ._progress import ProgressBar
+
+        pbar = ProgressBar(
+            total=len(self.train_loader) if hasattr(self.train_loader, "__len__") else None,
+            desc=f"epoch {self.epoch + 1}",
+        )
         pending: deque = deque()
         batches = (b for b in self.train_loader if not self._is_dropped_batch(b[0]))
         # 2-batch device-placement lookahead: device_put is async, so upcoming H2D
         # transfers ride alongside the current step's compute
         for x, target in prefetch(batches, lambda batch: self.to_device(*batch), size=2):
             pending.append(self._run_step_async(x, target))
+            batch_loss = None
             if len(pending) > readback_lag:
-                nan_cnt = check(float(pending.popleft()))
+                batch_loss = float(pending.popleft())
+                nan_cnt = check(batch_loss)
+            # the displayed loss lags dispatch by readback_lag steps — the price of
+            # a pipelined device queue (docstring above)
+            pbar.update(1, loss=batch_loss)
             self.step += 1
         while pending:
-            nan_cnt = check(float(pending.popleft()))
+            batch_loss = float(pending.popleft())
+            nan_cnt = check(batch_loss)
+            pbar.loss = batch_loss
+        pbar.close()
         self.epoch += 1
 
     def evaluate(self) -> Dict[str, float]:

@@ -3,8 +3,10 @@
 
 Spins the stdlib inference service in-process (api/app/main.py), fires warm
 sequential `POST /classification` requests with a synthetic JPEG, and reports
-median/p90 end-to-end latency plus the server-reported X-Process-Time. The TPU-native
-counterpart of timing the reference's ONNXRuntime FastAPI route (SURVEY.md §3.5).
+median/p90 end-to-end latency plus the server's per-stage attribution headers
+(decode / queue-wait / device call — VERDICT r3 #4: localize the host cost the
+reference's single X-Process-Time total hides). The TPU-native counterpart of
+timing the reference's ONNXRuntime FastAPI route (SURVEY.md §3.5).
 
 Usage:
     python scripts/bench_serving.py --arch repvgg_a0 --n 50 [--quantize]
@@ -47,25 +49,37 @@ def main(args):
         resp = conn.getresponse()
         body = resp.read()
         dt = (time.perf_counter() - t0) * 1e3
-        proc = float(resp.getheader("X-Process-Time") or 0) * 1e3
+        stages = {
+            "server": float(resp.getheader("X-Process-Time") or 0) * 1e3,
+            "decode": float(resp.getheader("X-Decode-Ms") or 0),
+            "queue": float(resp.getheader("X-Queue-Ms") or 0),
+            "infer": float(resp.getheader("X-Infer-Ms") or 0),
+        }
         conn.close()
         assert resp.status == 200, body
-        return dt, proc
+        return dt, stages
 
     # first request compiles the const-weights deploy forward — minutes through
     # the remote-compile tunnel (docs/PERF.md), seconds on a normal TPU host
     one(timeout=1200)
     for _ in range(args.warmup - 1):
         one()
-    e2e, proc = zip(*(one() for _ in range(args.n)))
+    samples = [one() for _ in range(args.n)]
+    e2e = [dt for dt, _ in samples]
     result = {
         "arch": args.arch,
         "quantized": bool(args.quantize),
         "n": args.n,
         "e2e_ms_p50": round(statistics.median(e2e), 2),
         "e2e_ms_p90": round(sorted(e2e)[int(0.9 * len(e2e))], 2),
-        "server_ms_p50": round(statistics.median(proc), 2),
     }
+    for stage in ("server", "decode", "queue", "infer"):
+        result[f"{stage}_ms_p50"] = round(statistics.median(s[stage] for _, s in samples), 2)
+    # the unattributed remainder: HTTP parse + response serialize + thread handoff
+    result["other_host_ms_p50"] = round(
+        max(result["server_ms_p50"] - result["decode_ms_p50"] - result["queue_ms_p50"] - result["infer_ms_p50"], 0.0),
+        2,
+    )
     print(json.dumps(result))
     srv.shutdown()
 

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Device-traces the int8 HEADLINE form next to the bf16 form (VERDICT r3 #5).
+
+Builds repvgg_a0 exactly as bench.py does (reparametrized deploy form, bf16
+variables, qparams closed over the jit as constants), captures a ``jax.profiler``
+trace of each form on the real chip, and prints per-op device-time tables plus a
+category split — the data that says where the gap to the ~394 TOP/s int8 peak goes
+(bf16-kept narrow stages? requantize chains? layout copies?).
+
+Usage: python scripts/trace_int8_headline.py [--batch 256] [--iters 30]
+"""
+
+import argparse
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from profile_train_step import categorize  # noqa: E402  (same categorizer as the train tables)
+
+
+def trace_form(fwd, x, iters: int):
+    import jax
+
+    from holocron_tpu.utils.profiling import trace_device_ops
+
+    import tempfile
+
+    out = fwd(x)
+    jax.device_get(out)  # compile + sync outside the trace
+    logdir = tempfile.mkdtemp(prefix="holocron_int8_trace_")
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            out = fwd(x)
+        jax.device_get(out)
+    ops = trace_device_ops(logdir)
+    return ops
+
+
+def report(tag: str, ops, iters: int, batch: int, top: int = 18):
+    total_us = sum(ops.values())
+    ms_per_iter = total_us / iters / 1e3
+    print(f"\n== {tag}: {ms_per_iter:.3f} ms/iter device time, {batch / ms_per_iter * 1e3:,.0f} img/s roofline ==")
+    cats = defaultdict(float)
+    for name, us in ops.items():
+        cats[categorize(name)] += us
+    print("| category | us/iter | share |")
+    print("|---|---|---|")
+    for cat, us in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"| {cat} | {us / iters:.1f} | {us / total_us * 100:.1f}% |")
+    print(f"\ntop {top} ops ({tag}):")
+    print("| op | us/iter | share |")
+    print("|---|---|---|")
+    for name, us in sorted(ops.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"| {name[:90]} | {us / iters:.1f} | {us / total_us * 100:.1f}% |")
+    return ms_per_iter
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import _naturalistic_batch
+    from holocron_tpu.models import repvgg_a0
+    from holocron_tpu.quant import quantize_model
+
+    batch = args.batch
+    model = repvgg_a0(dtype=jnp.bfloat16)
+    model.init((batch, 224, 224, 3))
+    for i in range(2):
+        model(_naturalistic_batch(jax.random.key(100 + i), batch, 224), train=True)
+    model.reparametrize()
+
+    variables = jax.tree.map(lambda t: t.astype(jnp.bfloat16), model.variables)
+    module = model.module
+    x = _naturalistic_batch(jax.random.key(0), batch, 224, jnp.bfloat16)
+
+    fwd = jax.jit(lambda a: module.apply(variables, a, train=False))
+    qm = quantize_model(model, calibration_batches=[x.astype(jnp.float32)])
+    qm.variables = variables
+    qfwd, qparams = qm.apply_fn(), qm.qparams
+    jfwd = jax.jit(lambda a: qfwd(qm.variables, qparams, a))
+
+    bf16_ops = trace_form(fwd, x, args.iters)
+    bf16_ms = report("bf16 const form", bf16_ops, args.iters, batch)
+    int8_ops = trace_form(jfwd, x, args.iters)
+    int8_ms = report("selective-int8 const form", int8_ops, args.iters, batch)
+
+    print(
+        json.dumps({
+            "batch": batch,
+            "bf16_ms_per_iter_device": round(bf16_ms, 3),
+            "int8_ms_per_iter_device": round(int8_ms, 3),
+            "int8_speedup_device": round(bf16_ms / int8_ms, 3),
+        })
+    )
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--iters", type=int, default=30)
+    main(p.parse_args())

@@ -654,3 +654,47 @@ def test_zero_sharded_opt_state_trajectory_matches_single_device():
     assert any(s is not None and s.spec != P() and "data" in jax.tree.leaves(tuple(s.spec)) for s in specs), (
         "expected at least one optimizer moment sharded over 'data'"
     )
+
+
+def test_progress_bar_renders_and_gates():
+    """The TTY progress bar (reference core.py:299-306 fastprogress analog): forced-on
+    mode renders step/rate/loss/ETA; default non-TTY mode writes nothing."""
+    import io
+
+    from holocron_tpu.trainer._progress import ProgressBar
+
+    class Buf(io.StringIO):
+        def isatty(self):
+            return False
+
+    # forced on via env
+    import os
+
+    os.environ["HOLOCRON_PROGRESS"] = "1"
+    try:
+        buf = Buf()
+        bar = ProgressBar(total=10, desc="epoch 1", refresh_hz=1e9, stream=buf)
+        for i in range(10):
+            bar.update(1, loss=1.0 / (i + 1))
+        bar.close()
+        out = buf.getvalue()
+        assert "epoch 1" in out and "10/10" in out and "loss 0.1000" in out and "it/s" in out
+        assert out.endswith("\n")
+    finally:
+        del os.environ["HOLOCRON_PROGRESS"]
+
+    # silent on non-TTY streams by default (CI logs stay clean)
+    buf = Buf()
+    bar = ProgressBar(total=10, stream=buf)
+    bar.update(10, loss=0.5)
+    bar.close()
+    assert buf.getvalue() == ""
+
+
+def test_fit_epoch_shows_progress(monkeypatch, capsys):
+    """HOLOCRON_PROGRESS=1 surfaces a live bar from the real _fit_epoch loop."""
+    monkeypatch.setenv("HOLOCRON_PROGRESS", "1")
+    trainer = make_trainer()
+    trainer.fit_n_epochs(1, 1e-3)
+    err = capsys.readouterr().err
+    assert "epoch 1" in err and "it/s" in err
