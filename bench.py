@@ -138,7 +138,10 @@ def main() -> None:
     int8_ips = 0.0
     agreement = None
     try:
-        qm = quantize_model(model, calibration_batches=[x.astype(jnp.float32)])
+        # arch enables the measured per-arch policy: for repvgg_a0 that lowers the
+        # quantization floor to the 48-ch stage-1 convs (trace-measured +18% device
+        # time, agreement 1.0 — docs/PERF.md round-4 int8 trace)
+        qm = quantize_model(model, calibration_batches=[x.astype(jnp.float32)], arch="repvgg_a0")
         qm.variables = variables  # non-quantized remainder stays bf16
         qfwd, qparams = qm.apply_fn(), qm.qparams
         # qparams closed over as jit constants: lets XLA bake the int8 weights /

@@ -47,6 +47,16 @@ def best_per_arch(files):
     return best
 
 
+# Trace-measured per-arch quantization floors (scripts/trace_int8_headline.py,
+# docs/PERF.md round-4 int8 trace): quantizing the 48-ch stage-1 convs WINS 3.6x in
+# whole-graph fusion context on repvgg a-variants (the isolated per-conv measurement
+# said parity — the fused quantize chain changes the answer). Only archs with a
+# chip-traced + accuracy-gated lower floor belong here.
+MIN_IN_CHANNELS_OVERRIDES = {
+    "repvgg_a0": 48,  # the only zoo RepVGG with sub-64 stage widths (a=0.75)
+}
+
+
 def main():
     bf16 = best_per_arch(BF16)
     int8 = best_per_arch(INT8)
@@ -57,6 +67,9 @@ def main():
         }
         for arch in sorted(set(bf16) & set(int8))
     }
+    for arch, floor in MIN_IN_CHANNELS_OVERRIDES.items():
+        if arch in policy:
+            policy[arch]["min_in_channels"] = floor
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(policy, indent=1) + "\n")
     n_rec = sum(1 for v in policy.values() if v["recommended"])

@@ -79,28 +79,38 @@ def main(args):
     x = _naturalistic_batch(jax.random.key(0), batch, 224, jnp.bfloat16)
 
     fwd = jax.jit(lambda a: module.apply(variables, a, train=False))
-    qm = quantize_model(model, calibration_batches=[x.astype(jnp.float32)])
+    qm = quantize_model(
+        model, calibration_batches=[x.astype(jnp.float32)], min_in_channels=args.min_in_channels
+    )
     qm.variables = variables
     qfwd, qparams = qm.apply_fn(), qm.qparams
     jfwd = jax.jit(lambda a: qfwd(qm.variables, qparams, a))
 
-    bf16_ops = trace_form(fwd, x, args.iters)
-    bf16_ms = report("bf16 const form", bf16_ops, args.iters, batch)
+    bf16_ms = None
+    if not args.int8_only:
+        bf16_ops = trace_form(fwd, x, args.iters)
+        bf16_ms = report("bf16 const form", bf16_ops, args.iters, batch)
     int8_ops = trace_form(jfwd, x, args.iters)
-    int8_ms = report("selective-int8 const form", int8_ops, args.iters, batch)
-
-    print(
-        json.dumps({
-            "batch": batch,
-            "bf16_ms_per_iter_device": round(bf16_ms, 3),
-            "int8_ms_per_iter_device": round(int8_ms, 3),
-            "int8_speedup_device": round(bf16_ms / int8_ms, 3),
-        })
+    int8_ms = report(
+        f"selective-int8 const form (min_in_channels={args.min_in_channels})",
+        int8_ops, args.iters, batch,
     )
+
+    out = {
+        "batch": batch,
+        "min_in_channels": args.min_in_channels,
+        "int8_ms_per_iter_device": round(int8_ms, 3),
+    }
+    if bf16_ms is not None:
+        out["bf16_ms_per_iter_device"] = round(bf16_ms, 3)
+        out["int8_speedup_device"] = round(bf16_ms / int8_ms, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--min-in-channels", type=int, default=64, help="quantize_conv floor (the lever experiment)")
+    p.add_argument("--int8-only", action="store_true", help="skip the bf16 reference trace")
     main(p.parse_args())

@@ -312,3 +312,26 @@ def test_measure_agreement_detection_closed_form():
     empty = [{"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "labels": np.zeros(0, int)}]
     out = measure_agreement_detection(lambda x: empty, lambda x: empty, [None])
     assert out["det_f1"] == 1.0
+
+
+def test_policy_min_in_channels_override():
+    """quant_policy.json's trace-measured floor (repvgg_a0: 48) applies when the
+    caller doesn't pass min_in_channels; an explicit value always wins."""
+    from holocron_tpu import models
+    from holocron_tpu.quant import recommended_quantization
+
+    assert recommended_quantization("repvgg_a0")["min_in_channels"] == 48
+
+    model = models.__dict__["repvgg_a0"](num_classes=4)
+    model.init((1, 32, 32, 3))
+    model.reparametrize()
+
+    def quantized_in_channels(qm):
+        return sorted({int(rec["kernel_q"].shape[-2]) for rec in qm.qparams.values()})
+
+    qm_default = quantize_model(model, arch="repvgg_a0")
+    qm_64 = quantize_model(model, arch="repvgg_a0", min_in_channels=64)
+    assert 48 in quantized_in_channels(qm_default)  # stage-1 convs included via policy
+    assert 48 not in quantized_in_channels(qm_64)  # explicit floor wins
+    # stem (3 input channels) stays bf16 in both
+    assert 3 not in quantized_in_channels(qm_default)
