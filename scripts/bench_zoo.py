@@ -58,7 +58,7 @@ def bench_one(arch: str, task: str, batch: int, size: int, dtype, it: int, warmu
     if quantize:
         from holocron_tpu.quant import quantize_model
 
-        qm = quantize_model(model, calibration_batches=[x])
+        qm = quantize_model(model, calibration_batches=[x], arch=arch)
         qm.variables = variables
         qparams = qm.qparams
         qfwd = qm.apply_fn()

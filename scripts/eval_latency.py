@@ -34,7 +34,7 @@ def main(args):
     if args.quantize:
         from holocron_tpu.quant import quantize_model
 
-        qm = quantize_model(model, calibration_batches=[x])
+        qm = quantize_model(model, calibration_batches=[x], arch=args.arch)
         qm.variables = variables  # keep the non-quantized remainder in the bench dtype
         qparams = qm.qparams
         qfwd = qm.apply_fn()

@@ -42,7 +42,7 @@ def build_forward(args):
         # are baked into the exported graph as constants, dynamic activation scales
         from holocron_tpu.quant import quantize_model
 
-        qm = quantize_model(model)
+        qm = quantize_model(model, arch=args.arch)
         qfwd_quant = qm.apply_fn()
         variables_q, qparams = qm.variables, qm.qparams
 
