@@ -136,6 +136,9 @@ def train(model, batch_fn, steps: int, batch: int, lr: float = 1e-3, task: str =
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr / 4))
     else:
         tx = optax.adam(lr)
+    # skip non-finite updates so one blown-up batch can't NaN the params for the
+    # rest of the run (same guard the Trainer applies, trainer/core.py)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=50)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -158,13 +161,18 @@ def train(model, batch_fn, steps: int, batch: int, lr: float = 1e-3, task: str =
         return optax.apply_updates(params, upd), {**state, **updates}, opt_state, loss
 
     key = jax.random.key(42)
-    loss = None
+    loss, last_finite = None, float("nan")
     for i in range(steps):
         key, sub, drop = jax.random.split(key, 3)
         x, y = batch_fn(sub, batch)
         params, state, opt_state, loss = step(params, state, opt_state, x, y, drop)
+        if i >= steps - 20:  # report a recent finite loss, not one blown-up final batch
+            val = float(jax.device_get(loss))
+            if val == val:
+                last_finite = val
     model.load_variables({"params": params, **state})
-    return float(jax.device_get(loss))
+    final = float(jax.device_get(loss))
+    return final if final == final else last_finite
 
 
 def evaluate(fwd, batch_fn, key, batches: int, batch: int):
@@ -249,6 +257,9 @@ def _measure_detection(model, bf16_fwd, int8_fwd, batch_fn, key, batches: int, b
         "det_precision": round(gate["det_precision"], 4),
         "det_recall": round(gate["det_recall"], 4),
         "mean_matched_iou": round(gate["mean_matched_iou"], 4),
+        # vacuous-agreement guard: a 1.0 F1 with 0 detections/image proves nothing
+        "dets_per_image_bf16": round(gate["dets_per_image_ref"], 2),
+        "dets_per_image_int8": round(gate["dets_per_image_quant"], 2),
     }
 
 

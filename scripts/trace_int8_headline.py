@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Device-traces the int8 HEADLINE form next to the bf16 form (VERDICT r3 #5).
 
-Builds repvgg_a0 exactly as bench.py does (reparametrized deploy form, bf16
-variables, qparams closed over the jit as constants), captures a ``jax.profiler``
-trace of each form on the real chip, and prints per-op device-time tables plus a
-category split — the data that says where the gap to the ~394 TOP/s int8 peak goes
-(bf16-kept narrow stages? requantize chains? layout copies?).
+Builds the arch exactly as bench.py does (reparametrized deploy form when the
+model supports it, bf16 variables, qparams closed over the jit as constants),
+captures a ``jax.profiler`` trace of each form on the real chip, and prints
+per-op device-time tables plus a category split — the data that says where the
+gap to the ~394 TOP/s int8 peak goes (bf16-kept narrow stages? requantize
+chains? layout copies?).
 
-Usage: python scripts/trace_int8_headline.py [--batch 256] [--iters 30]
+Usage: python scripts/trace_int8_headline.py [--arch darknet53] [--batch 256]
+       [--iters 30] [--min-in-channels 32]
 """
 
 import argparse
@@ -63,16 +65,17 @@ def main(args):
     import jax.numpy as jnp
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import holocron_tpu.models as zoo
     from bench import _naturalistic_batch
-    from holocron_tpu.models import repvgg_a0
     from holocron_tpu.quant import quantize_model
 
     batch = args.batch
-    model = repvgg_a0(dtype=jnp.bfloat16)
+    model = getattr(zoo, args.arch)(dtype=jnp.bfloat16)
     model.init((batch, 224, 224, 3))
     for i in range(2):
         model(_naturalistic_batch(jax.random.key(100 + i), batch, 224), train=True)
-    model.reparametrize()
+    if hasattr(model.module, "reparametrize"):
+        model.reparametrize()
 
     variables = jax.tree.map(lambda t: t.astype(jnp.bfloat16), model.variables)
     module = model.module
@@ -97,6 +100,7 @@ def main(args):
     )
 
     out = {
+        "arch": args.arch,
         "batch": batch,
         "min_in_channels": args.min_in_channels,
         "int8_ms_per_iter_device": round(int8_ms, 3),
@@ -109,6 +113,7 @@ def main(args):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--arch", default="repvgg_a0", help="any classification zoo factory")
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--min-in-channels", type=int, default=64, help="quantize_conv floor (the lever experiment)")

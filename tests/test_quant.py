@@ -308,10 +308,16 @@ def test_measure_agreement_detection_closed_form():
     out = measure_agreement_detection(lambda x: ref_dets, lambda x: q_wrong, [None])
     assert out["det_f1"] == 0.0
 
-    # both empty everywhere -> vacuous perfect agreement, not zero
+    # both empty everywhere -> vacuous perfect agreement, not zero — but the
+    # detection counts expose it (a 1.0 on zero boxes says nothing about int8)
     empty = [{"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "labels": np.zeros(0, int)}]
     out = measure_agreement_detection(lambda x: empty, lambda x: empty, [None])
     assert out["det_f1"] == 1.0
+    assert out["dets_per_image_ref"] == 0.0 and out["dets_per_image_quant"] == 0.0
+
+    # non-vacuous rows carry real counts
+    out = measure_agreement_detection(lambda x: ref_dets, lambda x: ref_dets, [None])
+    assert out["dets_per_image_ref"] == 2.0 and out["dets_per_image_quant"] == 2.0
 
 
 def test_policy_min_in_channels_override():
