@@ -93,7 +93,18 @@ def get_batcher():
         # on the logits was a second dispatch (and a second tunnel round trip on
         # remote-attached chips) per batch — measured in the round-4 serving
         # attribution (docs/PERF.md). One jit call, one device_get, per batch.
-        softmax_fwd = jax.jit(lambda x: jax.nn.softmax(fwd(x), axis=-1))
+        #
+        # The batch crosses the host->device link as uint8 (4x lighter than
+        # normalized float32 — measured ~6 ms p50 at 224px through the TPU tunnel,
+        # scripts/bench_serving.py) with /255 + mean/std folded into the same
+        # program, mirroring the trainer's uint8 end-to-end input feed.
+        mean = jnp.asarray(IMAGENETTE.mean, jnp.float32)
+        std = jnp.asarray(IMAGENETTE.std, jnp.float32)
+
+        @jax.jit
+        def softmax_fwd(u8):
+            x = (u8.astype(jnp.float32) * (1.0 / 255.0) - mean) / std
+            return jax.nn.softmax(fwd(x), axis=-1)
 
         def infer(batch: np.ndarray) -> np.ndarray:
             return np.asarray(softmax_fwd(jnp.asarray(batch)))
@@ -122,25 +133,28 @@ def preprocess_image(pil_img) -> np.ndarray:
 
 
 def preprocess_bytes(img_data: bytes):
-    """Encoded image bytes -> model-ready (1, 224, 224, 3).
+    """Encoded image bytes -> batcher-ready (1, 224, 224, 3) uint8.
 
     JPEG payloads (the overwhelmingly common case) take the native path: libjpeg
-    decode + bilinear resize + normalize fused in C++ (native/holocron_loader.cpp),
-    zero PIL involvement. Anything else falls back to PIL decode + the fused
-    on-device preprocess.
+    decode + bilinear resize fused in C++ (native/holocron_loader.cpp), zero PIL
+    involvement. Anything else falls back to a PIL decode + resize. Both paths
+    return uint8 HOST arrays: normalization folds into the micro-batcher's single
+    jitted device call (see :func:`get_batcher`), and an eager device_put here
+    would cost two extra tunnel RTTs (~60 ms, measured via
+    scripts/bench_serving.py).
     """
     if img_data[:3] == b"\xff\xd8\xff":  # JPEG magic
-        from holocron_tpu.utils.data import decode_batch, native_available
+        from holocron_tpu.utils.data import decode_batch_u8, native_available
 
         if native_available():
             try:
-                # stays a HOST array: the micro-batcher's jitted call is the single
-                # device round trip per request — an eager device_put here costs two
-                # extra tunnel RTTs (~60 ms, measured via scripts/bench_serving.py)
-                return decode_batch([img_data], 224, 224, IMAGENETTE.mean, IMAGENETTE.std)
-            except ValueError:
-                pass  # corrupt JPEG: let PIL try (it may still raise)
-    return preprocess_image(decode_image(img_data))
+                return decode_batch_u8([img_data], 224, 224)
+            except (ValueError, RuntimeError):
+                pass  # corrupt JPEG or pre-v3 library: let PIL try
+    from PIL import Image
+
+    pil = decode_image(img_data).resize((224, 224), Image.BILINEAR)
+    return np.asarray(pil, dtype=np.uint8)[None]
 
 
 def classify_image(img_data: bytes) -> Tuple[str, float, dict]:

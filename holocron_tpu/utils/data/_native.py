@@ -16,6 +16,7 @@ import numpy as np
 __all__ = [
     "NativeImageFolder",
     "decode_batch",
+    "decode_batch_u8",
     "decode_rrc_batch",
     "load_native",
     "native_available",
@@ -74,6 +75,18 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.hl_decode_rrc_batch.restype = None
+    if lib.hl_version() >= 3:
+        lib.hl_decode_u8_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.hl_decode_u8_batch.restype = None
     _LIB = lib
     return _LIB
 
@@ -162,6 +175,45 @@ def decode_rrc_batch(
         float(ratio[1]),
         float(flip_prob),
         seeds_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    if status.any():
+        bad = np.nonzero(status)[0]
+        raise ValueError(f"failed to decode JPEG(s) at indices {bad.tolist()}")
+    return out
+
+
+def decode_batch_u8(
+    jpeg_buffers: Sequence[bytes],
+    out_h: int,
+    out_w: int,
+    num_threads: int = 8,
+) -> np.ndarray:
+    """Decodes a list of JPEG byte strings to a plain resized (N, H, W, 3) uint8 batch.
+
+    The serving hot path: uint8 crosses the host->device link 4x lighter than the
+    normalized float32 :func:`decode_batch` produces (~6 ms p50 saved through the TPU
+    tunnel at 224px); /255 + mean/std normalization folds into the model's single
+    jitted program (api/app/vision.py).
+    """
+    lib = load_native()
+    if lib is None or lib.hl_version() < 3:
+        raise RuntimeError("native loader (v3+) is unavailable")
+    n = len(jpeg_buffers)
+    blob = b"".join(jpeg_buffers)
+    offsets = np.zeros(n + 1, dtype=np.uintp)
+    offsets[1:] = np.cumsum([len(b) for b in jpeg_buffers])
+    blob_arr = np.frombuffer(blob, dtype=np.uint8)
+    out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    status = np.zeros(n, dtype=np.int32)
+    lib.hl_decode_u8_batch(
+        blob_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        n,
+        out_h,
+        out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads,

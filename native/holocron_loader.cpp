@@ -259,6 +259,37 @@ void hl_decode_batch(const uint8_t* blob, const size_t* offsets, int n, int out_
   for (auto& th : pool) th.join();
 }
 
-int hl_version() { return 2; }
+// Serving hot path (v3): decodes one JPEG and bilinearly resizes the full frame to
+// a (out_h, out_w, 3) uint8 buffer — NO normalization. Shipping uint8 to the device
+// is 4x lighter on the host->device link than normalized float32 (measured ~6 ms
+// p50 through the TPU tunnel at 224px, docs/PERF.md); the /255 + mean/std fold into
+// the model's single jitted program (api/app/vision.py).
+int hl_decode_u8_one(const uint8_t* jpeg, size_t len, int out_h, int out_w,
+                     uint8_t* out) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(jpeg, len, rgb, w, h)) return 1;
+  crop_resize_u8(rgb.data(), h, w, 0, 0, h, w, out, out_h, out_w, false);
+  return 0;
+}
+
+void hl_decode_u8_batch(const uint8_t* blob, const size_t* offsets, int n, int out_h,
+                        int out_w, uint8_t* out, int* status, int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  const size_t img_elems = static_cast<size_t>(out_h) * out_w * 3;
+  std::vector<std::thread> pool;
+  auto worker = [&](int start, int step) {
+    for (int i = start; i < n; i += step) {
+      status[i] = hl_decode_u8_one(blob + offsets[i], offsets[i + 1] - offsets[i],
+                                   out_h, out_w, out + img_elems * i);
+    }
+  };
+  int threads = std::min(num_threads, n);
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker, t, threads);
+  for (auto& th : pool) th.join();
+}
+
+int hl_version() { return 3; }
 
 }  // extern "C"

@@ -45,6 +45,29 @@ def test_decode_batch_bad_jpeg():
         decode_batch([b"not a jpeg"], 16, 16, (0, 0, 0), (1, 1, 1))
 
 
+def test_decode_batch_u8_matches_f32_path():
+    """The serving hot path's uint8 decode+resize, normalized afterwards, must agree
+    with the fused float32 path (same bilinear): the only extra error is the uint8
+    rounding of the resized pixel (<= 0.5/255 pre-normalize)."""
+    from holocron_tpu.utils.data._native import decode_batch_u8
+
+    h, w = 100, 140
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack([(xx / w * 255), (yy / h * 255), ((xx * yy) % 255)], -1).astype(np.uint8)
+    raw = _jpeg(arr)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    u8 = decode_batch_u8([raw, raw], 64, 64)
+    assert u8.shape == (2, 64, 64, 3) and u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8[0], u8[1])
+    norm = (u8.astype(np.float32) / 255.0 - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    f32 = decode_batch([raw], 64, 64, mean, std)
+    # 0.5/255 quantization / min std ~0.22 ≈ 0.0089 max deviation
+    assert np.abs(norm[0] - f32[0]).max() < 0.01
+
+    with pytest.raises(ValueError):
+        decode_batch_u8([b"not a jpeg"], 16, 16)
+
+
 def test_decode_rrc_batch_shapes_and_determinism():
     from holocron_tpu.utils.data._native import decode_rrc_batch
 
