@@ -55,6 +55,12 @@ def bench_one(arch: str, task: str, batch: int, size: int, dtype, it: int, warmu
     module = model.module
     x = jax.random.normal(jax.random.key(0), (batch, size, size, 3), dtype)
 
+    # The remote-compile service rejects const-form HLO past ~200 MB of embedded
+    # weights (HTTP 413; thresholds measured in scripts/bench_b1.py) — past that,
+    # fall back to weights-as-args like the bf16 convnext_large/xl rows.
+    param_bytes = sum(t.size * t.dtype.itemsize for t in jax.tree.leaves(variables))
+    const_form = param_bytes < 200e6
+
     if quantize:
         from holocron_tpu.quant import quantize_model
 
@@ -62,11 +68,18 @@ def bench_one(arch: str, task: str, batch: int, size: int, dtype, it: int, warmu
         qm.variables = variables
         qparams = qm.qparams
         qfwd = qm.apply_fn()
-        # weights/qparams as jit constants — the deploy protocol (docs/PERF.md):
-        # XLA bakes them into the executable (+27% int8 / +7% bf16 vs args)
-        fwd = jax.jit(lambda inp: qfwd(variables, qparams, inp))
-    else:
+        if const_form:
+            # weights/qparams as jit constants — the deploy protocol (docs/PERF.md):
+            # XLA bakes them into the executable (+27% int8 / +7% bf16 vs args)
+            fwd = jax.jit(lambda inp: qfwd(variables, qparams, inp))
+        else:
+            inner = jax.jit(qfwd)
+            fwd = lambda inp: inner(variables, qparams, inp)  # noqa: E731
+    elif const_form:
         fwd = jax.jit(lambda inp: module.apply(variables, inp, train=False))
+    else:
+        inner = jax.jit(lambda v, inp: module.apply(v, inp, train=False))
+        fwd = lambda inp: inner(variables, inp)  # noqa: E731
     t0 = time.perf_counter()
     for _ in range(warmup):
         out = fwd(x)
@@ -90,6 +103,7 @@ def bench_one(arch: str, task: str, batch: int, size: int, dtype, it: int, warmu
         "img_per_sec": round(batch * it / total, 1),
         "params_m": round(n_params / 1e6, 2),
         "compile_s": round(compile_s, 1),
+        "form": "const" if const_form else "args",
     }
 
 
