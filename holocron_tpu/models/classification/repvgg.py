@@ -146,25 +146,11 @@ def _fuse_rep_block(block_params: dict, block_stats: dict, eps: float = 1e-5) ->
 
 
 def _fold_s2d_stem_kernel(k3: jax.Array) -> jax.Array:
-    """Folds a fused ``(3, 3, C, O)`` stride-2 kernel into the equivalent
-    ``(2, 2, 4C, O)`` stride-1 kernel over the space-to-depth(2) input.
+    """Stem-fold alias of :func:`~holocron_tpu.models.utils.fold_s2d_kernel` (the
+    algebra moved there in round 4 so the int8 strided-conv fast path can share it)."""
+    from ..utils import fold_s2d_kernel
 
-    Derivation: with pad-1, output pixel ``(i, j)`` reads ``x[2i+d-1]`` for
-    ``d in {0, 1, 2}``. Writing ``2i+d-1 = 2(i-1+u)+a`` gives ``(u, a) = (0, 1)``
-    for ``d=0`` and ``(1, d-1)`` otherwise — a 2x2 window over
-    ``z[p, q, (a, b, c)] = x[2p+a, 2q+b, c]`` (``concat_downsample2d`` channel
-    order) with one zero row/col padded on top/left. The unused ``(u=0, a=0)``
-    taps stay zero.
-    """
-    _, _, c, o = k3.shape
-    k2 = jnp.zeros((2, 2, 4 * c, o), k3.dtype)
-    for di in range(3):
-        u, a = (0, 1) if di == 0 else (1, di - 1)
-        for dj in range(3):
-            v, b = (0, 1) if dj == 0 else (1, dj - 1)
-            ch = (a * 2 + b) * c
-            k2 = k2.at[u, v, ch : ch + c].set(k3[di, dj])
-    return k2
+    return fold_s2d_kernel(k3)
 
 
 class RepVGG(nn.Module):

@@ -29,7 +29,14 @@ from .core import Model
 from .layers import BatchNorm2d, apply_layer
 from .presets import IMAGENET, IMAGENETTE
 
-__all__ = ["ConvSequence", "conv_sequence", "fuse_conv_bn", "load_pretrained_params", "model_from_hf_hub"]
+__all__ = [
+    "ConvSequence",
+    "conv_sequence",
+    "fold_s2d_kernel",
+    "fuse_conv_bn",
+    "load_pretrained_params",
+    "model_from_hf_hub",
+]
 
 logger = logging.getLogger(__name__)
 
@@ -176,6 +183,35 @@ def fuse_conv_bn(
         fused_bias = fused_bias + scale_factor * conv_bias
     fused_kernel = kernel * scale_factor  # broadcast over the trailing out_c axis
     return fused_kernel, fused_bias
+
+
+def fold_s2d_kernel(k3: jax.Array) -> jax.Array:
+    """Folds a ``(3, 3, C, O)`` stride-2 pad-1 kernel into the equivalent
+    ``(2, 2, 4C, O)`` stride-1 kernel over the space-to-depth(2) input.
+
+    Derivation: with pad-1, output pixel ``(i, j)`` reads ``x[2i+d-1]`` for
+    ``d in {0, 1, 2}``. Writing ``2i+d-1 = 2(i-1+u)+a`` gives ``(u, a) = (0, 1)``
+    for ``d=0`` and ``(1, d-1)`` otherwise — a 2x2 window over
+    ``z[p, q, (a, b, c)] = x[2p+a, 2q+b, c]``
+    (:func:`~holocron_tpu.nn.functional.concat_downsample2d` channel order) with
+    one zero row/col padded on top/left (``padding=((1, 0), (1, 0))``). The unused
+    ``(u=0, a=0)`` taps stay zero, so the rewrite is exact — bit-exact for integer
+    kernels (the int8 strided-conv fast path in :mod:`holocron_tpu.quant` relies
+    on this).
+
+    Used by RepVGG's opt-in ``reparametrize(s2d_stem=True)`` form and by the int8
+    deploy path, where XLA's stride-2 int8 convolutions measure 4-12x below their
+    stride-1 peers per FLOP (docs/PERF.md round-4 int8 trace).
+    """
+    _, _, c, o = k3.shape
+    k2 = jnp.zeros((2, 2, 4 * c, o), k3.dtype)
+    for di in range(3):
+        u, a = (0, 1) if di == 0 else (1, di - 1)
+        for dj in range(3):
+            v, b = (0, 1) if dj == 0 else (1, dj - 1)
+            ch = (a * 2 + b) * c
+            k2 = k2.at[u, v, ch : ch + c].set(k3[di, dj])
+    return k2
 
 
 def _download_checkpoint(url: str, sha256: Optional[str] = None, progress: bool = True) -> Path:
