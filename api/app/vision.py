@@ -121,17 +121,6 @@ def decode_image(img_data: bytes):
     return Image.open(io.BytesIO(img_data)).convert("RGB")
 
 
-def preprocess_image(pil_img) -> np.ndarray:
-    """uint8 PIL image -> normalized (1, 224, 224, 3) via the fused on-device
-    preprocess (resize + scale + normalize in ONE jitted XLA program,
-    holocron_tpu/transforms/functional.py) — no host-side PIL resize."""
-    from holocron_tpu.transforms import fused_preprocess
-
-    arr = jnp.asarray(np.asarray(pil_img, dtype=np.uint8)[None])
-    out = fused_preprocess(arr, (224, 224), IMAGENETTE.mean, IMAGENETTE.std, dtype=jnp.float32)
-    return out
-
-
 def preprocess_bytes(img_data: bytes):
     """Encoded image bytes -> batcher-ready (1, 224, 224, 3) uint8.
 

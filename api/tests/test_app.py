@@ -171,10 +171,14 @@ def test_load_model_quantize_falls_back_on_unmeasured_arch(monkeypatch, caplog):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    from holocron_tpu import quant
     from holocron_tpu.quant import QuantizedModel, recommended_quantization
 
     from api.app import config, vision
 
+    # The checked-in policy now covers all zoo factories (round-4 sweep), so an
+    # "unmeasured" arch must be simulated: blank the in-memory policy cache.
+    monkeypatch.setattr(quant, "_POLICY", {})
     arch = "mobileone_s0"
     assert recommended_quantization(arch) is None  # precondition: unmeasured
 

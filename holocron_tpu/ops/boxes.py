@@ -91,13 +91,17 @@ def diou_loss(boxes1: Array, boxes2: Array) -> Array:
 def aspect_ratio(boxes: Array) -> Array:
     """``atan(w / h)`` per box. Reference: holocron/ops/boxes.py:133-144.
 
-    The denominator is clamped to a tiny epsilon: a zero-height box (the reference
-    propagates ``atan(0/0) = NaN``) otherwise poisons gradients of any loss built on
-    this, even where the loss value is masked out — under autodiff, ``where`` masks
-    values but not NaN partials. Identical for every box with positive height.
+    The denominator is clamped to a tiny epsilon in MAGNITUDE (sign preserved): a
+    zero-height box (the reference propagates ``atan(0/0) = NaN``) otherwise poisons
+    gradients of any loss built on this, even where the loss value is masked out —
+    under autodiff, ``where`` masks values but not NaN partials. A degenerate
+    negative-height box (x1<x0-style, common early in training) keeps the sign the
+    reference would produce instead of snapping to ``atan(w/+eps) = +pi/2``.
+    Identical for every box with ``|h| >= 1e-12``.
     """
     h = boxes[:, 3] - boxes[:, 1]
-    return jnp.arctan((boxes[:, 2] - boxes[:, 0]) / jnp.maximum(h, 1e-12))
+    h_safe = jnp.where(jnp.abs(h) < 1e-12, jnp.where(h < 0, -1e-12, 1e-12), h)
+    return jnp.arctan((boxes[:, 2] - boxes[:, 0]) / h_safe)
 
 
 def aspect_ratio_consistency(boxes1: Array, boxes2: Array) -> Array:

@@ -56,6 +56,15 @@ MIN_IN_CHANNELS_OVERRIDES = {
     "repvgg_a0": 48,  # the only zoo RepVGG with sub-64 stage widths (a=0.75)
 }
 
+# Measured per-arch stride-2 handling (quantize_model kwargs of the same names):
+# s2d_strided rewrites eligible stride-2 3x3 int8 convs as stride-1 2x2 over the
+# space-to-depth input; quantize_strided=False keeps strided convs bf16. Both are
+# policy-driven through quant_policy.json — entries here survive regeneration
+# (without this table a hand-added key would be silently dropped; ADVICE r4).
+STRIDE_POLICY_OVERRIDES: dict = {
+    # "<arch>": {"s2d_strided": True} / {"quantize_strided": False}, once traced+gated
+}
+
 
 def main():
     bf16 = best_per_arch(BF16)
@@ -70,6 +79,9 @@ def main():
     for arch, floor in MIN_IN_CHANNELS_OVERRIDES.items():
         if arch in policy:
             policy[arch]["min_in_channels"] = floor
+    for arch, overrides in STRIDE_POLICY_OVERRIDES.items():
+        if arch in policy:
+            policy[arch].update(overrides)
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(policy, indent=1) + "\n")
     n_rec = sum(1 for v in policy.values() if v["recommended"])
