@@ -61,6 +61,26 @@ REFERENCE_B1_MS = {
     "cspdarknet53_mish": (6.88, 67.78),
 }
 
+# The reference publishes NO det/seg latency numbers (its README table is
+# classification-only), so these rows extend the protocol to the det/seg zoo at the
+# reference's own training resolutions (references/detection/train.py:416,
+# references/segmentation/train.py:256) with the repo's numbers as the new
+# reference point (VERDICT r4 #7).
+DEFAULT_SIZES = {
+    "yolov1": 448,  # reference yolov1 head is fixed at its 448px training grid
+    "yolov2": 416,
+    "yolov4": 416,
+    "unet": 256,
+    "unetp": 256,
+    "unetpp": 256,
+    "unet3p": 256,
+    "dynamic_unet": 256,
+    "unet_tvvgg11": 256,
+    "unet_tvresnet34": 256,
+    "unet_rexnet13": 256,
+    "unet2": 256,
+}
+
 
 def bench_one(arch: str, size: int, iters: int) -> dict:
     from holocron_tpu import models
@@ -133,7 +153,7 @@ def main(args):
     archs = args.archs or list(REFERENCE_B1_MS)
     for arch in archs:
         try:
-            row = bench_one(arch, args.size, args.it)
+            row = bench_one(arch, args.size or DEFAULT_SIZES.get(arch, 224), args.it)
         except Exception as e:  # noqa: BLE001 — keep sweeping on per-arch failure
             row = {"arch": arch, "error": f"{type(e).__name__}: {e}"}
             traceback.print_exc()
@@ -147,7 +167,7 @@ def main(args):
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--archs", nargs="*", default=None, help="subset (default: every reference-table arch)")
-    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--size", type=int, default=0, help="0 = per-arch default (224; det 416/448, seg 256)")
     p.add_argument("--it", type=int, default=100, help="iterations per arch (reference protocol: 100)")
     p.add_argument("--out", default=None, help="append JSONL results here")
     return p.parse_args()
