@@ -71,15 +71,18 @@ def main(args):
 
     batch = args.batch
     model = getattr(zoo, args.arch)(dtype=jnp.bfloat16)
-    model.init((batch, 224, 224, 3))
+    model.init((batch, args.size, args.size, 3))
     for i in range(2):
-        model(_naturalistic_batch(jax.random.key(100 + i), batch, 224), train=True)
+        try:
+            model(_naturalistic_batch(jax.random.key(100 + i), batch, args.size), train=True)
+        except ValueError:
+            break  # detection modules demand targets in train mode; init BN stats suffice for a perf trace
     if hasattr(model.module, "reparametrize"):
         model.reparametrize()
 
     variables = jax.tree.map(lambda t: t.astype(jnp.bfloat16), model.variables)
     module = model.module
-    x = _naturalistic_batch(jax.random.key(0), batch, 224, jnp.bfloat16)
+    x = _naturalistic_batch(jax.random.key(0), batch, args.size, jnp.bfloat16)
 
     fwd = jax.jit(lambda a: module.apply(variables, a, train=False))
     qm = quantize_model(
@@ -102,6 +105,7 @@ def main(args):
     out = {
         "arch": args.arch,
         "batch": batch,
+        "size": args.size,
         "min_in_channels": args.min_in_channels,
         "int8_ms_per_iter_device": round(int8_ms, 3),
     }
@@ -113,8 +117,9 @@ def main(args):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--arch", default="repvgg_a0", help="any classification zoo factory")
+    p.add_argument("--arch", default="repvgg_a0", help="any zoo factory (classification/detection/segmentation)")
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--size", type=int, default=224, help="input side (det archs: 416)")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--min-in-channels", type=int, default=64, help="quantize_conv floor (the lever experiment)")
     p.add_argument("--int8-only", action="store_true", help="skip the bf16 reference trace")
