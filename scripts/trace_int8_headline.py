@@ -78,11 +78,22 @@ def main(args):
         except ValueError:
             break  # detection modules demand targets in train mode; init BN stats suffice for a perf trace
     if hasattr(model.module, "reparametrize"):
-        model.reparametrize()
+        if args.s2d_input:
+            # host-rearranged space-to-depth deploy form (docs/PERF.md round-3 table):
+            # the 3-ch stem becomes a 12-ch 2x2 stride-1 conv — quantizable once
+            # min_in_channels <= 12 (VERDICT r4 #4: the round-3 measurement kept the
+            # folded stem bf16; this re-evaluates it in int8 fusion context)
+            model.reparametrize(s2d_input=True)
+        else:
+            model.reparametrize()
 
     variables = jax.tree.map(lambda t: t.astype(jnp.bfloat16), model.variables)
     module = model.module
     x = _naturalistic_batch(jax.random.key(0), batch, args.size, jnp.bfloat16)
+    if args.s2d_input:
+        from holocron_tpu.transforms.functional import space_to_depth_batch
+
+        x = space_to_depth_batch(x)
 
     fwd = jax.jit(lambda a: module.apply(variables, a, train=False))
     qm = quantize_model(
@@ -106,6 +117,7 @@ def main(args):
         "arch": args.arch,
         "batch": batch,
         "size": args.size,
+        "s2d_input": bool(args.s2d_input),
         "min_in_channels": args.min_in_channels,
         "int8_ms_per_iter_device": round(int8_ms, 3),
     }
@@ -123,4 +135,9 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--min-in-channels", type=int, default=64, help="quantize_conv floor (the lever experiment)")
     p.add_argument("--int8-only", action="store_true", help="skip the bf16 reference trace")
+    p.add_argument(
+        "--s2d-input",
+        action="store_true",
+        help="host-rearranged space-to-depth deploy form (RepVGG only): 12-ch stem, quantizable at --min-in-channels<=12",
+    )
     main(p.parse_args())
