@@ -50,6 +50,14 @@ def test_box_giou(boxes):
 def test_aspect_ratio(boxes):
     np.testing.assert_allclose(np.asarray(ops.boxes.aspect_ratio(boxes)), math.pi / 4 * np.ones(4))
     np.testing.assert_allclose(np.asarray(ops.boxes.aspect_ratio_consistency(boxes, boxes)), np.zeros((4, 4)))
+    # degenerate boxes: zero height stays finite (NaN-gradient guard), and a
+    # negative-height box keeps the sign atan(w/h) would produce — the epsilon
+    # clamp preserves sign instead of snapping to +pi/2 (advisor r4)
+    degen = jnp.asarray([[0.0, 0.0, 10.0, 0.0], [0.0, 5.0, 10.0, 0.0]])
+    ar = np.asarray(ops.boxes.aspect_ratio(degen))
+    assert np.isfinite(ar).all()
+    np.testing.assert_allclose(ar[0], math.pi / 2, rtol=1e-6)
+    np.testing.assert_allclose(ar[1], math.atan(10.0 / -5.0), rtol=1e-6)
 
 
 def test_ciou_loss(boxes):
