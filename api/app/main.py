@@ -16,6 +16,11 @@ from .schemas import Status
 
 
 class Handler(BaseHTTPRequestHandler):
+    # HTTP/1.1 keep-alive: every response carries Content-Length, so persistent
+    # connections are safe — without this the default HTTP/1.0 closes the socket
+    # after each response and concurrent clients pay a reconnect (and racing
+    # reuse attempts surface as ECONNRESET under load)
+    protocol_version = "HTTP/1.1"
     def _send(self, code: int, payload: dict, t0: float, timings: dict = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)

@@ -85,7 +85,16 @@ def main(args):
         def client():
             conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
             barrier.wait()
-            local = [one(conn=conn) for _ in range(per)]
+            local = []
+            for _ in range(per):
+                try:
+                    local.append(one(conn=conn))
+                except (http.client.HTTPException, ConnectionError, OSError):
+                    # server closed the keep-alive socket (idle timeout / restart):
+                    # reconnect and retry once — the retried request is timed whole
+                    conn.close()
+                    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+                    local.append(one(conn=conn))
             conn.close()
             with lock:
                 samples.extend(local)
@@ -120,14 +129,19 @@ def main(args):
 
     if args.concurrency:
         # warm every power-of-two batch bucket up to max concurrency so the load
-        # phase never hits a cold compile mid-measurement
+        # phase never hits a cold compile mid-measurement: the server runs
+        # in-process, so drive the batcher's infer_fn directly — deterministic,
+        # unlike racing real requests into particular coalesced sizes
         import math as _math
 
-        top = 1 << _math.ceil(_math.log2(max(args.concurrency)))
-        k = 2
-        while k <= top:
-            closed_loop(k, max(k * 2, 8))
-            k *= 2
+        from api.app import config as _config
+        from api.app import vision as _vision
+
+        batcher = _vision.get_batcher()
+        bucket = 1
+        while bucket <= min(max(args.concurrency), _config.MAX_BATCH):
+            batcher.infer_fn(np.zeros((bucket, 224, 224, 3), np.uint8))
+            bucket *= 2
         for k in args.concurrency:
             row = closed_loop(k, args.n)
             row.update({"arch": args.arch, "quantized": bool(args.quantize)})
