@@ -74,8 +74,16 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
 
+class _Server(ThreadingHTTPServer):
+    # a burst of simultaneous new connections (load spikes; the concurrency bench's
+    # barrier start) overflows the default listen backlog of 5 and the kernel RSTs
+    # the excess — size it for the batcher's design load instead
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def serve(host: str = config.HOST, port: int = config.PORT) -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer((host, port), Handler)
+    server = _Server((host, port), Handler)
     return server
 
 
