@@ -80,6 +80,10 @@ class _Server(ThreadingHTTPServer):
     # the excess — size it for the batcher's design load instead
     request_queue_size = 128
     daemon_threads = True
+    # keep-alive + Nagle is a latency trap: the handler's response goes out in two
+    # small writes (headers, body), and Nagle holds the second until the first is
+    # ACKed — a ~40 ms delayed-ACK stall per request on persistent connections
+    disable_nagle_algorithm = True
 
 
 def serve(host: str = config.HOST, port: int = config.PORT) -> ThreadingHTTPServer:

@@ -27,9 +27,20 @@ import http.client
 import io
 import json
 import os
+import socket
 import statistics
 import threading
 import time
+
+
+def _connect(port: int, timeout: float) -> http.client.HTTPConnection:
+    """Keep-alive connection with TCP_NODELAY — http.client sends headers and body
+    in separate writes, and Nagle + delayed-ACK turns that into a ~40 ms stall per
+    request on a reused connection."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.connect()
+    conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return conn
 
 
 def main(args):
@@ -55,7 +66,7 @@ def main(args):
     def one(timeout=300, conn=None):
         own = conn is None
         if own:
-            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+            conn = _connect(port, timeout)
         t0 = time.perf_counter()
         conn.request("POST", "/classification", body=payload, headers={"Content-Type": "image/jpeg"})
         resp = conn.getresponse()
@@ -83,7 +94,7 @@ def main(args):
         barrier = threading.Barrier(k + 1)
 
         def client():
-            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn = _connect(port, 600)
             barrier.wait()
             local = []
             for _ in range(per):
@@ -93,7 +104,7 @@ def main(args):
                     # server closed the keep-alive socket (idle timeout / restart):
                     # reconnect and retry once — the retried request is timed whole
                     conn.close()
-                    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+                    conn = _connect(port, 600)
                     local.append(one(conn=conn))
             conn.close()
             with lock:
