@@ -21,6 +21,11 @@ class Handler(BaseHTTPRequestHandler):
     # after each response and concurrent clients pay a reconnect (and racing
     # reuse attempts surface as ECONNRESET under load)
     protocol_version = "HTTP/1.1"
+    # keep-alive + Nagle is a latency trap: the response goes out in two writes
+    # (headers, body), and Nagle holds the second until the first is ACKed — a
+    # ~40 ms delayed-ACK stall per request on persistent connections. This is a
+    # socketserver HANDLER attribute (applied in StreamRequestHandler.setup).
+    disable_nagle_algorithm = True
     def _send(self, code: int, payload: dict, t0: float, timings: dict = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
@@ -80,10 +85,6 @@ class _Server(ThreadingHTTPServer):
     # the excess — size it for the batcher's design load instead
     request_queue_size = 128
     daemon_threads = True
-    # keep-alive + Nagle is a latency trap: the handler's response goes out in two
-    # small writes (headers, body), and Nagle holds the second until the first is
-    # ACKed — a ~40 ms delayed-ACK stall per request on persistent connections
-    disable_nagle_algorithm = True
 
 
 def serve(host: str = config.HOST, port: int = config.PORT) -> ThreadingHTTPServer:
