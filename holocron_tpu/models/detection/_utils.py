@@ -78,6 +78,7 @@ def post_process(
     rpn_nms_thresh: float = 0.7,
     box_score_thresh: float = 0.05,
     pre_nms_topk: int = 1024,
+    obj_thresh: float = 0.5,
 ) -> Dict[str, jax.Array]:
     """Objectness filter -> score threshold -> top-k -> NMS, on probability-space inputs.
 
@@ -85,11 +86,13 @@ def post_process(
     fixed-size outputs: ``boxes (B, K, 4)``, ``scores``, ``labels``, ``keep`` mask.
     ``pre_nms_topk`` caps the NMS candidate set — the greedy pass needs an O(K^2) IoU
     matrix, which at 608px inputs (~21k raw candidates) would otherwise blow HBM.
+    ``obj_thresh`` is the reference's hard-coded objectness gate (yolo.py:196
+    ``b_o >= 0.5``), exposed so evaluation harnesses can rank weakly-trained models.
     """
     boxes = jnp.clip(boxes, 0.0, 1.0)
     scores = jnp.max(b_scores, axis=-1) * b_o
     labels = jnp.argmax(b_scores, axis=-1)
-    valid = (b_o >= 0.5) & (scores >= box_score_thresh)
+    valid = (b_o >= obj_thresh) & (scores >= box_score_thresh)
 
     k = min(pre_nms_topk, boxes.shape[1])
     ranked = jnp.where(valid, scores, -jnp.inf)

@@ -76,7 +76,15 @@ def yolo_v12_losses(
         sel_xy = pxy[cy, cx, anchor]
         sel_wh = pwh[cy, cx, anchor]
         bbox = jnp.sum(gtm_f[:, None] * (gt_xy - sel_xy) ** 2)
-        bbox += jnp.sum(gtm_f[:, None] * (jnp.sqrt(gt_wh) - jnp.sqrt(jnp.clip(sel_wh, 0.0))) ** 2)
+        # safe-subgradient sqrt: when a sigmoid-decoded wh underflows to exactly 0.0
+        # (saturated head early in from-scratch training), d/dx sqrt(clip(x, 0)) is
+        # 0 * inf = NaN and one batch poisons every gradient. Forward value is
+        # identical to sqrt(clip(wh, 0)); the subgradient at wh <= 0 is defined as 0.
+        # (The reference's torch.sqrt at 0 has the same inf gradient — yolo.py:115-119
+        # — it just never trains v1 from a saturated random init.)
+        wh_pos = sel_wh > 0.0
+        sqrt_wh = jnp.sqrt(jnp.where(wh_pos, sel_wh, 1.0)) * wh_pos.astype(pxyxy.dtype)
+        bbox += jnp.sum(gtm_f[:, None] * (jnp.sqrt(gt_wh) - sqrt_wh) ** 2)
 
         # no-objectness mask: responsible anchors excluded (yolo.py:104, 121-126)
         noobj_mask = jnp.ones((h, w, num_anchors), pxyxy.dtype)

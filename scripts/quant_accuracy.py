@@ -226,10 +226,6 @@ def _measure_detection(model, bf16_fwd, int8_fwd, batch_fn, key, batches: int, b
     nms_thresh = getattr(model.module, "rpn_nms_thresh", 0.7)
     score_thresh = getattr(model.module, "box_score_thresh", 0.05)
 
-    def as_det_fwd(raw_fwd):
-        return lambda x: detections_to_list(post_process(*raw_fwd(x), nms_thresh, score_thresh))
-
-    det_bf16, det_int8 = as_det_fwd(bf16_fwd), as_det_fwd(int8_fwd)
     eval_x, gts = [], []
     for i in range(batches):
         key, sub = jax.random.split(key)
@@ -245,14 +241,51 @@ def _measure_detection(model, bf16_fwd, int8_fwd, batch_fn, key, batches: int, b
             for j in range(batch)
         ])
 
-    def vs_gt(det_fwd):
-        it = iter(gts)
-        return measure_agreement_detection(lambda x: next(it), det_fwd, eval_x)
+    # Run each form's raw forward ONCE per eval batch, then walk a threshold ladder
+    # over the cached outputs: a few-hundred-step synthetic detector rarely pushes
+    # objectness past the reference's production 0.5 gate, and a gate measured on
+    # ZERO detections is vacuous (round-4 guard). Both forms always use the SAME
+    # thresholds; the thresholds used are recorded in the row.
+    raw_bf16 = [tuple(jax.device_get(t) for t in bf16_fwd(x)) for x in eval_x]
+    raw_int8 = [tuple(jax.device_get(t) for t in int8_fwd(x)) for x in eval_x]
 
-    gate = measure_agreement_detection(det_bf16, det_int8, eval_x)
+    # Final rung is rank-based: a norm-free backbone trained a few hundred steps from
+    # scratch can sit at arbitrarily low absolute objectness (the no-object term
+    # crushes every b_o early; see yolov1), so derive score_t from the model's own
+    # score distribution such that ~2 boxes/image pass, and drop the objectness gate.
+    all_scores = np.concatenate(
+        [(np.asarray(s, np.float32).max(-1) * np.asarray(o, np.float32)).ravel() for _, o, s in raw_bf16]
+    )
+    n_boxes_per_image = raw_bf16[0][1].shape[1]
+    rank_t = float(np.quantile(all_scores, max(0.0, 1.0 - 2.0 / n_boxes_per_image)))
+    ladder = [(0.5, score_thresh), (0.25, 0.01), (0.1, 1e-3), (0.0, rank_t)]
+    for obj_t, score_t in ladder:
+        pp = jax.jit(
+            lambda b, o, s: post_process(b, o, s, nms_thresh, score_t, obj_thresh=obj_t)
+        )
+        dets_bf16 = [detections_to_list(pp(*r)) for r in raw_bf16]
+        mean_dets = float(np.mean([len(d["boxes"]) for bt in dets_bf16 for d in bt]))
+        if mean_dets >= 0.5:
+            break
+    dets_int8 = [detections_to_list(pp(*r)) for r in raw_int8]
+
+    def from_list(batches_list):
+        it = iter(batches_list)
+        return lambda x: next(it)
+
+    # score_thresh=0.0: thresholding already happened in post_process (the ladder);
+    # the gate's default 0.25 re-filter would silently re-vacuate low-score rungs.
+    def vs_gt(dets):
+        return measure_agreement_detection(from_list(list(gts)), from_list(list(dets)), eval_x, score_thresh=0.0)
+
+    gate = measure_agreement_detection(
+        from_list(list(dets_bf16)), from_list(list(dets_int8)), eval_x, score_thresh=0.0
+    )
     return {
-        "acc_bf16": round(vs_gt(det_bf16)["det_f1"], 4),
-        "acc_int8": round(vs_gt(det_int8)["det_f1"], 4),
+        "obj_thresh": obj_t,
+        "score_thresh": score_t,
+        "acc_bf16": round(vs_gt(dets_bf16)["det_f1"], 4),
+        "acc_int8": round(vs_gt(dets_int8)["det_f1"], 4),
         "det_f1": round(gate["det_f1"], 4),
         "det_precision": round(gate["det_precision"], 4),
         "det_recall": round(gate["det_recall"], 4),

@@ -89,6 +89,47 @@ def test_detection_loss_grads(arch):
     assert max(float(jnp.max(jnp.abs(g))) for g in leaves) > 0
 
 
+def test_yolo_loss_grads_finite_at_zero_wh():
+    """The wh term's sqrt must have a zero subgradient (not 0*inf=NaN) when a
+    predicted wh is exactly 0.0 — a sigmoid-decoded wh underflows to 0 once the
+    head saturates early in from-scratch training, and one such batch used to
+    poison every gradient leaf (yolo.py safe-subgradient sqrt)."""
+    h = w = 2
+    num_anchors, num_classes = 2, 3
+
+    target = pad_targets([{"boxes": np.asarray([[0.1, 0.1, 0.4, 0.4]], np.float32), "labels": np.asarray([0])}], 4)
+    target = jax.tree.map(jnp.asarray, dict(target))
+
+    def loss_of(wh_val):
+        xy = jnp.full((1, h, w, num_anchors, 2), 0.25)
+        wh = jnp.full((1, h, w, num_anchors, 2), 1.0) * wh_val
+        pred_xyxy = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
+        po = jnp.full((1, h, w, num_anchors), 0.3)
+        scores = jnp.full((1, h, w, num_anchors, num_classes), 1.0 / num_classes)
+        losses = yolo_v12_losses(pred_xyxy, xy, wh, po, scores, target)
+        return sum(losses.values())
+
+    g = jax.grad(loss_of)(jnp.asarray(0.0))  # saturated: every predicted wh == 0
+    assert bool(jnp.isfinite(g))
+    # and the fix must not perturb the healthy-path gradient
+    g_pos = jax.grad(loss_of)(jnp.asarray(0.09))
+    ref = (float(loss_of(0.09 + 5e-4)) - float(loss_of(0.09 - 5e-4))) / 1e-3
+    assert float(g_pos) == pytest.approx(ref, rel=1e-2)
+
+
+def test_post_process_obj_thresh():
+    """obj_thresh exposes the reference's hard-coded 0.5 objectness gate
+    (yolo.py:196): lowering it must admit sub-0.5-objectness boxes."""
+    boxes = jnp.asarray([[[0.0, 0.0, 0.4, 0.4], [0.5, 0.5, 0.9, 0.9]]], jnp.float32)
+    b_o = jnp.asarray([[0.3, 0.6]], jnp.float32)
+    b_scores = jnp.asarray([[[0.9, 0.1], [0.8, 0.2]]], jnp.float32)
+
+    default = post_process(boxes, b_o, b_scores, 0.7, 0.05)
+    assert int(np.asarray(default["keep"]).sum()) == 1  # only the 0.6-objectness box
+    lowered = post_process(boxes, b_o, b_scores, 0.7, 0.05, obj_thresh=0.2)
+    assert int(np.asarray(lowered["keep"]).sum()) == 2
+
+
 def test_yolo_closed_form_losses():
     """Closed-form loss values on crafted predictions — the reference's exact scenario
     (tests/test_models_detection.py:96-144)."""
