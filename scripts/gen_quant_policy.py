@@ -65,6 +65,17 @@ STRIDE_POLICY_OVERRIDES: dict = {
     # "<arch>": {"s2d_strided": True} / {"quantize_strided": False}, once traced+gated
 }
 
+# Quality-gate vetoes: an arch whose measured int8-vs-bf16 agreement fails its
+# task's gate (classification top-1 >= 0.99; segmentation mask IoU >= 0.99;
+# detection box-F1 — docs/PERF.md "int8 accuracy gates beyond classification")
+# must stay un-recommended NO MATTER how fast int8 is. Speed rows alone set
+# `recommended`, so a quality failure recorded only in
+# docs/bench/quant_accuracy*.jsonl would be silently re-recommended on the next
+# regeneration without this veto.
+QUALITY_GATE_VETOES: dict = {
+    # "<arch>": "<reason, citing the quant_accuracy row>",
+}
+
 
 def main():
     bf16 = best_per_arch(BF16)
@@ -82,6 +93,10 @@ def main():
     for arch, overrides in STRIDE_POLICY_OVERRIDES.items():
         if arch in policy:
             policy[arch].update(overrides)
+    for arch, reason in QUALITY_GATE_VETOES.items():
+        if arch in policy:
+            policy[arch]["recommended"] = False
+            policy[arch]["quality_veto"] = reason
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(policy, indent=1) + "\n")
     n_rec = sum(1 for v in policy.values() if v["recommended"])
