@@ -74,7 +74,10 @@ DEFAULT_SIZES = {
     "unetp": 256,
     "unetpp": 256,
     "unet3p": 256,
-    "dynamic_unet": 256,
+    # NOTE: no "dynamic_unet" row — it is a builder, not a zero-arg factory
+    # (reference holocron/models/segmentation/unet.py:371-414 takes an encoder);
+    # its concrete instantiations unet2/unet_tvvgg11/unet_tvresnet34/unet_rexnet13
+    # are benched individually.
     "unet_tvvgg11": 256,
     "unet_tvresnet34": 256,
     "unet_rexnet13": 256,
