@@ -118,3 +118,52 @@ def test_parity_harness_api_suite():
     )
     assert res.returncode == 0, res.stdout + res.stderr
     assert "all parity checks passed" in res.stdout
+
+
+def test_gen_quant_policy_overrides_and_veto(tmp_path, capsys):
+    """Policy regeneration must honor the three override tables: a speed win sets
+    `recommended`, the floor/stride overrides attach their keys, and a quality-gate
+    veto pins `recommended: false` regardless of measured speed (VERDICT r4 #2 —
+    without the veto a failed arch would be silently re-recommended on the next
+    regeneration)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_quant_policy", ROOT / "scripts" / "gen_quant_policy.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    bench = tmp_path / "bench"
+    bench.mkdir()
+    bf16_rows = [
+        {"arch": "fast", "img_per_sec": 100.0},
+        {"arch": "slow", "img_per_sec": 100.0},
+        {"arch": "vetoed", "img_per_sec": 100.0},
+    ]
+    int8_rows = [
+        {"arch": "fast", "img_per_sec": 200.0},
+        {"arch": "slow", "img_per_sec": 80.0},
+        {"arch": "vetoed", "img_per_sec": 200.0},
+    ]
+    (bench / mod.BF16[0]).write_text("\n".join(json.dumps(r) for r in bf16_rows))
+    (bench / mod.INT8[0]).write_text("\n".join(json.dumps(r) for r in int8_rows))
+
+    mod.BENCH = bench
+    mod.OUT = tmp_path / "quant_policy.json"
+    mod.MIN_IN_CHANNELS_OVERRIDES = {"fast": 48}
+    mod.STRIDE_POLICY_OVERRIDES = {"fast": {"quantize_strided": False}}
+    mod.QUALITY_GATE_VETOES = {"vetoed": "synthetic agreement failure (test)"}
+    mod.main()
+    capsys.readouterr()
+
+    policy = json.loads(mod.OUT.read_text())
+    assert policy["fast"] == {
+        "int8_speedup": 2.0,
+        "recommended": True,
+        "min_in_channels": 48,
+        "quantize_strided": False,
+    }
+    assert policy["slow"]["recommended"] is False and "quality_veto" not in policy["slow"]
+    assert policy["vetoed"]["recommended"] is False
+    assert policy["vetoed"]["quality_veto"] == "synthetic agreement failure (test)"
