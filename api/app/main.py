@@ -49,11 +49,13 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         t0 = time.time()
+        # drain the body before ANY response: under keep-alive an unread body
+        # would be parsed as the next request line, desyncing the connection
+        length = int(self.headers.get("Content-Length", 0))
+        data = self.rfile.read(length)
         if self.path != "/classification":
             self._send(404, {"detail": "Not Found"}, t0)
             return
-        length = int(self.headers.get("Content-Length", 0))
-        data = self.rfile.read(length)
         # accept either a raw image body or multipart (extract the first file part)
         content_type = self.headers.get("Content-Type", "")
         if content_type.startswith("multipart/form-data"):
@@ -84,7 +86,7 @@ class _Server(ThreadingHTTPServer):
     # barrier start) overflows the default listen backlog of 5 and the kernel RSTs
     # the excess — size it for the batcher's design load instead
     request_queue_size = 128
-    daemon_threads = True
+    # daemon_threads is already True on ThreadingHTTPServer (stdlib default)
 
 
 def serve(host: str = config.HOST, port: int = config.PORT) -> ThreadingHTTPServer:

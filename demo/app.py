@@ -4,7 +4,6 @@ model. Requires gradio (`pip install gradio`)."""
 
 import argparse
 
-import jax
 import numpy as np
 
 
@@ -18,13 +17,15 @@ def main(args):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
-    from api.app.vision import CLASSES, get_model, preprocess_image
+    from PIL import Image
 
-    model = get_model()
+    from api.app.vision import CLASSES, get_batcher
+
+    batcher = get_batcher()  # builds the model; normalization + softmax run inside its one jitted call
 
     def predict(pil_img):
-        x = preprocess_image(pil_img)
-        probs = np.asarray(jax.nn.softmax(model(x), axis=-1))[0]
+        x = np.asarray(pil_img.convert("RGB").resize((224, 224), Image.BILINEAR), dtype=np.uint8)[None]
+        probs = np.asarray(batcher.submit(x)["probs"])
         top3 = probs.argsort()[::-1][:3]
         return {CLASSES[i] if i < len(CLASSES) else str(i): float(probs[i]) for i in top3}
 

@@ -90,7 +90,7 @@ def main(args):
         the system is saturated at whatever concurrency it can actually sustain."""
         samples: list = []
         lock = threading.Lock()
-        per = total // k
+        per = max(1, total // k)  # k > total must still send one request per client
         barrier = threading.Barrier(k + 1)
 
         def client():
@@ -143,15 +143,20 @@ def main(args):
         # phase never hits a cold compile mid-measurement: the server runs
         # in-process, so drive the batcher's infer_fn directly — deterministic,
         # unlike racing real requests into particular coalesced sizes
-        import math as _math
-
         from api.app import config as _config
         from api.app import vision as _vision
 
         batcher = _vision.get_batcher()
+        # the batcher pads a coalesced batch UP to the next power of two, so the
+        # covering bucket for k clients is the first power of two >= min(k, MAX_BATCH)
+        # — stopping at the last bucket <= k would leave e.g. k=48 hitting a cold
+        # bucket-64 compile mid-measurement
+        top = min(max(args.concurrency), _config.MAX_BATCH)
         bucket = 1
-        while bucket <= min(max(args.concurrency), _config.MAX_BATCH):
+        while True:
             batcher.infer_fn(np.zeros((bucket, 224, 224, 3), np.uint8))
+            if bucket >= top:
+                break
             bucket *= 2
         for k in args.concurrency:
             row = closed_loop(k, args.n)

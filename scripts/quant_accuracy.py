@@ -349,12 +349,13 @@ def main(args):
         int8_fwd = lambda a: qfwd(qm.variables, qparams, a)  # noqa: E731
 
         eval_key = jax.random.key(2000)
-        eval_x = [batch_fn(jax.random.key(3000 + i), batch)[0] for i in range(args.eval_batches)]
         if task == "detection":
+            # _measure_detection builds its own eval set from eval_key
             row = _measure_detection(model, bf16_fwd, int8_fwd, batch_fn, eval_key, args.eval_batches, batch)
         elif task == "segmentation":
             from holocron_tpu.quant import measure_agreement_segmentation
 
+            eval_x = [batch_fn(jax.random.key(3000 + i), batch)[0] for i in range(args.eval_batches)]
             acc_bf16 = evaluate_dense(bf16_fwd, batch_fn, eval_key, args.eval_batches, batch)
             acc_int8 = evaluate_dense(int8_fwd, batch_fn, eval_key, args.eval_batches, batch)
             gate = measure_agreement_segmentation(bf16_fwd, int8_fwd, eval_x)
@@ -365,6 +366,7 @@ def main(args):
                 "mean_mask_iou": round(gate["mean_mask_iou"], 4),
             }
         else:
+            eval_x = [batch_fn(jax.random.key(3000 + i), batch)[0] for i in range(args.eval_batches)]
             acc_bf16 = evaluate(bf16_fwd, batch_fn, eval_key, args.eval_batches, batch)
             acc_int8 = evaluate(int8_fwd, batch_fn, eval_key, args.eval_batches, batch)
             gate = measure_agreement(bf16_fwd, int8_fwd, eval_x)
