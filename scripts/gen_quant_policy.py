@@ -73,7 +73,12 @@ STRIDE_POLICY_OVERRIDES: dict = {
 # docs/bench/quant_accuracy*.jsonl would be silently re-recommended on the next
 # regeneration without this veto.
 QUALITY_GATE_VETOES: dict = {
-    # "<arch>": "<reason, citing the quant_accuracy row>",
+    "yolov2": (
+        "int8 box-F1 vs bf16 = 0.893 (recall 0.806, matched IoU 0.819) on trained "
+        "weights (2000 steps, loss 2.21) — int8 drops ~19% of bf16's detections; "
+        "docs/bench/quant_accuracy_segdet.jsonl row 2026-08-20. Speed 1.11x does "
+        "not clear the quality gate (yolov1 F1 1.0, yolov4 0.979-0.986 pass)."
+    ),
 }
 
 
